@@ -1,0 +1,440 @@
+"""CodonGPT: compact causal codon LM as pure functions over param pytrees.
+
+Capability parity with the reference ``TinyGPT``
+(``src/codonlm/model_tiny_gpt.py:155-389``) — learned-pos or RoPE, GELU-MLP
+or SwiGLU, MHA or GQA, causal + <SEP>-segment + optional local-window
+masking, tied embeddings, f32 cross-entropy with ignore-pad / label smoothing
+/ per-token weights, auxiliary termination head and per-offset identity-init
+MLP heads sharing the LM head, and a canonical causal hidden-state API
+(``hidden_states`` ≙ reference ``iter_hidden_states``).
+
+TPU-first structure instead of a module graph:
+
+- Per-layer weights are **stacked on a leading L axis** and the block is run
+  under ``jax.lax.scan`` — one compiled block regardless of depth, flat HBM
+  layout, uniform sharding rules.
+- Optional ``jax.checkpoint`` (remat) around the scanned block body replaces
+  the reference's ``torch.utils.checkpoint`` gradient checkpointing.
+- Activations run in ``cfg.compute_dtype`` (bf16 for AMP) with parameters and
+  the CE reduction in float32, mirroring the reference's MPS fp16 autocast +
+  ``.float()`` loss.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from genomics_lm_tpu.models.config import CodonGPTConfig
+from genomics_lm_tpu.ops.attention import attention, sdpa_xla
+from genomics_lm_tpu.ops.losses import cross_entropy
+from genomics_lm_tpu.ops.masks import segment_ids_from_tokens
+
+# --- Initialization (torch-default distributions, for curve parity) ---------
+
+
+def _linear_init(rng, fan_in: int, fan_out: int, *, bias: bool = True):
+    """U(−1/√fan_in, 1/√fan_in) for weight and bias (torch nn.Linear)."""
+    k = 1.0 / math.sqrt(fan_in)
+    wkey, bkey = jax.random.split(rng)
+    p = {"w": jax.random.uniform(wkey, (fan_in, fan_out), jnp.float32, -k, k)}
+    if bias:
+        p["b"] = jax.random.uniform(bkey, (fan_out,), jnp.float32, -k, k)
+    return p
+
+
+def _ln_init(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _block_init(rng, cfg: CodonGPTConfig):
+    D = cfg.n_embd
+    kv_dim = cfg.kv_heads * cfg.head_dim
+    keys = jax.random.split(rng, 8)
+    attn = {
+        "query": _linear_init(keys[0], D, D),
+        "key": _linear_init(keys[1], D, kv_dim),
+        "value": _linear_init(keys[2], D, kv_dim),
+        "proj": _linear_init(keys[3], D, D),
+    }
+    if cfg.use_swiglu:
+        H = cfg.mlp_hidden
+        mlp = {
+            "w_gate": _linear_init(keys[4], D, H, bias=False),
+            "w_up": _linear_init(keys[5], D, H, bias=False),
+            "w_down": _linear_init(keys[6], H, D, bias=False),
+        }
+    else:
+        H = cfg.mlp_hidden
+        mlp = {
+            "fc": _linear_init(keys[4], D, H),
+            "proj": _linear_init(keys[5], H, D),
+        }
+    return {"ln1": _ln_init(D), "attn": attn, "ln2": _ln_init(D), "mlp": mlp}
+
+
+def init(rng: jax.Array, cfg: CodonGPTConfig) -> dict:
+    """Initialize the full parameter pytree (float32 master weights)."""
+    keys = jax.random.split(rng, 8 + len(cfg.multi_offset_targets))
+    params: dict = {
+        "tok_emb": jax.random.normal(keys[0], (cfg.vocab_size, cfg.n_embd), jnp.float32),
+        "ln_f": _ln_init(cfg.n_embd),
+    }
+    if not cfg.use_rope:
+        params["pos_emb"] = jax.random.normal(
+            keys[1], (cfg.block_size, cfg.n_embd), jnp.float32
+        )
+    # Stacked per-layer params: tree with leading axis L.
+    block_keys = jax.random.split(keys[2], cfg.n_layer)
+    blocks = [_block_init(k, cfg) for k in block_keys]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    if not cfg.tie_embeddings:
+        params["head"] = _linear_init(keys[3], cfg.n_embd, cfg.vocab_size, bias=False)
+    if cfg.termination_aux:
+        params["termination_head"] = _linear_init(
+            keys[4], cfg.n_embd, cfg.termination_n_classes
+        )
+    if cfg.use_shape_guidance:
+        # Zero-init so guidance starts as a no-op (model_tiny_gpt.py:226-229).
+        params["shape_proj"] = {
+            "w": jnp.zeros((3, cfg.n_embd), jnp.float32),
+            "b": jnp.zeros((cfg.n_embd,), jnp.float32),
+        }
+    if cfg.multi_offset_targets:
+        offset_projs = {}
+        for i, offset in enumerate(cfg.multi_offset_targets):
+            # Identity-init 2-layer MLP sharing the LM head (ref :234-246).
+            eye = jnp.eye(cfg.n_embd, dtype=jnp.float32)
+            offset_projs[str(offset)] = {
+                "fc": {"w": eye, "b": jnp.zeros((cfg.n_embd,), jnp.float32)},
+                "proj": {"w": eye, "b": jnp.zeros((cfg.n_embd,), jnp.float32)},
+            }
+        params["offset_projs"] = offset_projs
+    return params
+
+
+def param_count(params) -> int:
+    return int(sum(p.size for p in jax.tree.leaves(params)))
+
+
+# --- Forward pieces ----------------------------------------------------------
+
+
+def _linear(p, x):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _layer_norm(p, x, eps: float = 1e-5):
+    # Normalize in f32 (torch LayerNorm computes statistics in higher precision)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def rope_cos_sin(T: int, head_dim: int, base: float, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin caches with the reference's duplicated-halves layout
+    (model_tiny_gpt.py:15-25): emb = concat(freqs, freqs) along the last dim."""
+    inv_freq = 1.0 / (base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(T, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """cos/sin: (T, head_dim) → broadcast over (B, H, T, D)."""
+    cos = cos[None, None, :, :]
+    sin = sin[None, None, :, :]
+    return q * cos + rotate_half(q) * sin, k * cos + rotate_half(k) * sin
+
+
+def _qkv(block_p, x, cfg: CodonGPTConfig):
+    B, T, _ = x.shape
+    hd = cfg.head_dim
+    q = _linear(block_p["attn"]["query"], x).reshape(B, T, cfg.n_head, hd).transpose(0, 2, 1, 3)
+    k = _linear(block_p["attn"]["key"], x).reshape(B, T, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+    v = _linear(block_p["attn"]["value"], x).reshape(B, T, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _block_apply(
+    block_p,
+    x,
+    cfg: CodonGPTConfig,
+    *,
+    segment_ids,
+    attention_window,
+    rope_cache,
+    train: bool,
+    rng,
+):
+    B, T, C = x.shape
+    h = _layer_norm(block_p["ln1"], x)
+    q, k, v = _qkv(block_p, h, cfg)
+    if rope_cache is not None:
+        q, k = apply_rope(q, k, *rope_cache)
+    drop_rate = cfg.dropout if train else 0.0
+    attn_rng = mlp_rng = None
+    if train and rng is not None and cfg.dropout > 0.0:
+        attn_rng, mlp_rng = jax.random.split(rng)
+    y = attention(
+        q, k, v,
+        segment_ids=segment_ids,
+        attention_window=attention_window,
+        dropout_rate=drop_rate,
+        dropout_rng=attn_rng,
+        impl=cfg.attention_impl,
+    )
+    y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+    x = x + _linear(block_p["attn"]["proj"], y)
+
+    h = _layer_norm(block_p["ln2"], x)
+    if cfg.use_swiglu:
+        m = _linear(block_p["mlp"]["w_down"],
+                    jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h))
+                    * _linear(block_p["mlp"]["w_up"], h))
+    else:
+        m = _linear(block_p["mlp"]["proj"], jax.nn.gelu(_linear(block_p["mlp"]["fc"], h), approximate=False))
+    if train and mlp_rng is not None and cfg.dropout > 0.0:
+        keep = jax.random.bernoulli(mlp_rng, 1.0 - cfg.dropout, m.shape)
+        m = jnp.where(keep, m / (1.0 - cfg.dropout), 0.0)
+    return x + m
+
+
+def _embed(params, cfg: CodonGPTConfig, idx, shape_embeddings, *, train, rng):
+    x = params["tok_emb"].astype(cfg.dtype)[idx]
+    if not cfg.use_rope:
+        T = idx.shape[1]
+        x = x + params["pos_emb"].astype(cfg.dtype)[:T][None, :, :]
+    if shape_embeddings is not None and cfg.use_shape_guidance:
+        x = x + _linear(params["shape_proj"], shape_embeddings.astype(cfg.dtype))
+    if train and rng is not None and cfg.dropout > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+    return x
+
+
+def _run_blocks(params, cfg: CodonGPTConfig, x, *, segment_ids, attention_window, train, rng):
+    rope_cache = (
+        rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_base, cfg.dtype)
+        if cfg.use_rope
+        else None
+    )
+    use_dropout = train and rng is not None and cfg.dropout > 0.0
+
+    def body(h, layer_in):
+        block_p = layer_in[0] if use_dropout else layer_in
+        layer_rng = layer_in[1] if use_dropout else None
+        h = _block_apply(
+            block_p, h, cfg,
+            segment_ids=segment_ids,
+            attention_window=attention_window,
+            rope_cache=rope_cache,
+            train=use_dropout,
+            rng=layer_rng,
+        )
+        return h, None
+
+    if cfg.use_checkpoint:
+        body = jax.checkpoint(body)
+
+    xs = (
+        (params["blocks"], jax.random.split(rng, cfg.n_layer))
+        if use_dropout
+        else params["blocks"]
+    )
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def _lm_logits(params, cfg: CodonGPTConfig, x):
+    if cfg.tie_embeddings:
+        return x @ params["tok_emb"].astype(x.dtype).T
+    return _linear(params["head"], x)
+
+
+def forward(
+    params: dict,
+    cfg: CodonGPTConfig,
+    idx: jnp.ndarray,
+    targets: jnp.ndarray | None = None,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    return_aux: bool = False,
+    shape_embeddings: jnp.ndarray | None = None,
+    attention_window: int | None = None,
+):
+    """Full forward pass. Returns (logits, loss, aux) — aux carries
+    ``termination_logits`` and ``offset_logits`` when those heads exist,
+    matching reference ``TinyGPT.forward(return_aux=True)``."""
+    emb_rng = blocks_rng = None
+    if train and rng is not None and cfg.dropout > 0.0:
+        emb_rng, blocks_rng = jax.random.split(rng)
+    segment_ids = (
+        segment_ids_from_tokens(idx, cfg.sep_id) if cfg.sep_id is not None else None
+    )
+    x = _embed(params, cfg, idx, shape_embeddings, train=train, rng=emb_rng)
+    x = _run_blocks(
+        params, cfg, x,
+        segment_ids=segment_ids,
+        attention_window=attention_window,
+        train=train,
+        rng=blocks_rng,
+    )
+    x = _layer_norm(params["ln_f"], x)
+    logits = _lm_logits(params, cfg, x)
+
+    aux: dict = {}
+    if cfg.termination_aux:
+        aux["termination_logits"] = _linear(params["termination_head"], x)
+    if cfg.multi_offset_targets:
+        offset_logits = {}
+        for offset in cfg.multi_offset_targets:
+            p = params["offset_projs"][str(offset)]
+            proj_x = _linear(p["proj"], jax.nn.gelu(_linear(p["fc"], x), approximate=False))
+            offset_logits[offset] = _lm_logits(params, cfg, proj_x)
+        aux["offset_logits"] = offset_logits
+
+    loss = None
+    if targets is not None:
+        weight = (
+            None
+            if cfg.uniform_loss_weights
+            else jnp.asarray(cfg.loss_weights, dtype=jnp.float32)
+        )
+        loss = cross_entropy(
+            logits,
+            targets,
+            ignore_index=0,
+            label_smoothing=cfg.label_smoothing,
+            weight=weight,
+        )
+    if return_aux:
+        return logits, loss, aux
+    return logits, loss
+
+
+def hidden_states(
+    params: dict,
+    cfg: CodonGPTConfig,
+    idx: jnp.ndarray,
+    *,
+    shape_embeddings: jnp.ndarray | None = None,
+    attention_window: int | None = None,
+):
+    """Canonical causal states at embedding, each block, and final norm.
+
+    Returns ``[(0, emb), (1, h1), ..., (L, hL), ("final", ln_f(hL))]`` —
+    parity with reference ``iter_hidden_states`` (model_tiny_gpt.py:368-389).
+    Runs unscanned (per-layer Python loop) since this is the
+    interpretability/extraction path, not the training hot loop.
+    """
+    segment_ids = (
+        segment_ids_from_tokens(idx, cfg.sep_id) if cfg.sep_id is not None else None
+    )
+    x = _embed(params, cfg, idx, shape_embeddings, train=False, rng=None)
+    rope_cache = (
+        rope_cos_sin(idx.shape[1], cfg.head_dim, cfg.rope_base, cfg.dtype)
+        if cfg.use_rope
+        else None
+    )
+    out = [(0, x)]
+    for layer in range(cfg.n_layer):
+        block_p = jax.tree.map(lambda p: p[layer], params["blocks"])
+        x = _block_apply(
+            block_p, x, cfg,
+            segment_ids=segment_ids,
+            attention_window=attention_window,
+            rope_cache=rope_cache,
+            train=False,
+            rng=None,
+        )
+        out.append((layer + 1, x))
+    out.append(("final", _layer_norm(params["ln_f"], x)))
+    return out
+
+
+def forward_hidden(params, cfg, idx, **kwargs) -> jnp.ndarray:
+    """Final-norm hidden states — the canonical embedding-extraction output."""
+    return hidden_states(params, cfg, idx, **kwargs)[-1][1]
+
+
+def attention_maps(
+    params: dict,
+    cfg: CodonGPTConfig,
+    idx: jnp.ndarray,
+    *,
+    attention_window: int | None = None,
+) -> list[jnp.ndarray]:
+    """Per-layer attention probabilities (B, H, T, T) for interpretability.
+
+    Replaces the reference's ``last_attn`` side-channel
+    (model_tiny_gpt.py:128) with an explicit functional API.
+    """
+    segment_ids = (
+        segment_ids_from_tokens(idx, cfg.sep_id) if cfg.sep_id is not None else None
+    )
+    x = _embed(params, cfg, idx, None, train=False, rng=None)
+    rope_cache = (
+        rope_cos_sin(idx.shape[1], cfg.head_dim, cfg.rope_base, cfg.dtype)
+        if cfg.use_rope
+        else None
+    )
+    T = idx.shape[1]
+    positions = jnp.arange(T)
+    distance = positions[:, None] - positions[None, :]
+    causal = distance >= 0
+    if attention_window is not None:
+        causal = causal & (distance < int(attention_window))
+    mask = causal[None, None, :, :]
+    if segment_ids is not None:
+        seg_eq = segment_ids[:, :, None] == segment_ids[:, None, :]
+        mask = mask & seg_eq[:, None, :, :]
+
+    maps = []
+    for layer in range(cfg.n_layer):
+        block_p = jax.tree.map(lambda p: p[layer], params["blocks"])
+        h = _layer_norm(block_p["ln1"], x)
+        q, k, v = _qkv(block_p, h, cfg)
+        if rope_cache is not None:
+            q, k = apply_rope(q, k, *rope_cache)
+        y, probs = sdpa_xla(q, k, v, mask=mask, return_probs=True)
+        maps.append(probs)
+        B, _, T_, _ = q.shape
+        y = y.transpose(0, 2, 1, 3).reshape(B, T_, cfg.n_embd)
+        x = x + _linear(block_p["attn"]["proj"], y)
+        h2 = _layer_norm(block_p["ln2"], x)
+        if cfg.use_swiglu:
+            m = _linear(block_p["mlp"]["w_down"],
+                        jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h2))
+                        * _linear(block_p["mlp"]["w_up"], h2))
+        else:
+            m = _linear(block_p["mlp"]["proj"], jax.nn.gelu(_linear(block_p["mlp"]["fc"], h2), approximate=False))
+        x = x + m
+    return maps
+
+
+__all__ = [
+    "apply_rope",
+    "attention_maps",
+    "forward",
+    "forward_hidden",
+    "hidden_states",
+    "init",
+    "param_count",
+    "rope_cos_sin",
+    "rotate_half",
+]

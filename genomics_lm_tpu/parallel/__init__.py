@@ -1,0 +1,18 @@
+"""Parallelism layer: device meshes and sharding rules.
+
+The reference is strictly single-device (SURVEY.md §2.6); this layer is the
+TPU-native addition prescribed by BASELINE.json: data-parallel pjit over a
+``Mesh(('data',))`` with XLA-inserted collectives, per-host dataset sharding,
+and ZeRO-1-style sharded optimizer state via ``NamedSharding``.
+"""
+
+from genomics_lm_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    make_mesh,
+    local_device_count,
+)
+from genomics_lm_tpu.parallel.sharding import (  # noqa: F401
+    batch_sharding,
+    replicated,
+    zero1_opt_state_sharding,
+)

@@ -1,0 +1,82 @@
+"""Pallas flash attention vs XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genomics_lm_tpu.ops.attention import attention
+from genomics_lm_tpu.ops.flash_attention import flash_attention
+from genomics_lm_tpu.ops.masks import segment_ids_from_tokens
+
+rng = np.random.default_rng(7)
+B, H, T, D = 2, 2, 64, 16
+
+
+def make_qkv(hkv=None):
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, hkv or H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, hkv or H, T, D)), jnp.float32)
+    return q, k, v
+
+
+def make_segments():
+    tokens = rng.integers(4, 68, (B, T))
+    tokens[:, ::17] = 3
+    return segment_ids_from_tokens(jnp.asarray(tokens), 3)
+
+
+CASES = [
+    dict(),
+    dict(seg=True),
+    dict(window=9),
+    dict(seg=True, window=21),
+    dict(hkv=1),
+    dict(seg=True, window=30, hkv=1),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[str(c) for c in CASES])
+def test_forward_and_grad_parity(case):
+    seg = make_segments() if case.get("seg") else None
+    window = case.get("window")
+    q, k, v = make_qkv(case.get("hkv"))
+
+    ref = attention(q, k, v, segment_ids=seg, attention_window=window, impl="xla")
+    out = flash_attention(q, k, v, segment_ids=seg, attention_window=window, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+    def loss(fn):
+        def inner(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+
+        return jax.grad(inner, argnums=(0, 1, 2))(q, k, v)
+
+    g_ref = loss(lambda q, k, v: attention(q, k, v, segment_ids=seg, attention_window=window, impl="xla"))
+    g_out = loss(lambda q, k, v: flash_attention(q, k, v, segment_ids=seg, attention_window=window, interpret=True))
+    for a, b in zip(g_ref, g_out):
+        scale = float(jnp.abs(a).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4)
+
+
+def test_model_forward_with_flash_impl():
+    from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+
+    cfg_x = CodonGPTConfig(vocab_size=68, block_size=32, n_layer=2, n_head=4,
+                           n_embd=32, dropout=0.0, attention_impl="xla")
+    cfg_f = cfg_x.replace(attention_impl="flash")
+    params = codon_gpt.init(jax.random.PRNGKey(0), cfg_x)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 68)
+    tgt = jax.random.randint(jax.random.PRNGKey(2), (2, 32), 1, 68)
+    lx, lossx = codon_gpt.forward(params, cfg_x, idx, tgt)
+    lf, lossf = codon_gpt.forward(params, cfg_f, idx, tgt)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lf), atol=1e-4)
+    assert abs(float(lossx) - float(lossf)) < 1e-5
+
+    def lfn(p, c):
+        return codon_gpt.forward(p, c, idx, tgt)[1]
+
+    gx = jax.grad(lfn)(params, cfg_x)
+    gf = jax.grad(lfn)(params, cfg_f)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
