@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Headline benchmark: non-pad codon tokens/sec/chip for training.
+
+Protocol mirrors the reference runtime gate
+(``docs/benchmarks/corrected_mps_runtime_gate.json``): the 10L8H d384
+block512 model, effective batch 128 windows per optimizer step, seed 1337,
+warmup + measured optimizer steps. The reference reaches its effective batch
+as b4 × gacc32 on an 8 GB M2; the TPU-native runtime policy runs the same
+128-window step as a single microbatch (gacc=1) with the Pallas flash
+attention kernel, bf16 compute, and dropout 0.1 — identical optimizer-step
+semantics, measured as non-pad target tokens per wall second.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 2,891.9 non-pad tok/s (reference selected runtime, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TOKENS_PER_SEC = 2891.9
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+    from genomics_lm_tpu.training.optim import build_optimizer
+    from genomics_lm_tpu.training.train_step import LossConfig, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = CodonGPTConfig(
+        vocab_size=68,
+        block_size=512,
+        n_layer=10,
+        n_head=8,
+        n_embd=384,
+        dropout=0.1,
+        label_smoothing=0.05,
+        sep_id=3,
+        tie_embeddings=True,
+        attention_impl="flash" if on_tpu else "xla",
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_checkpoint=False,
+    )
+    G, B, T = 1, 128, 512  # effective batch 128 windows (= reference protocol)
+
+    rng = np.random.default_rng(1337)
+    params = codon_gpt.init(jax.random.PRNGKey(1337), cfg)
+    run_cfg = {
+        "lr": 3e-4, "lr_embedding": 3e-4, "min_lr": 3e-5, "weight_decay": 0.05,
+        "warmup_steps": 100, "scheduler": "cosine",
+    }
+    bundle = build_optimizer(run_cfg, params, total_steps=5000)
+    opt_state = bundle.tx.init(params)
+    loss_cfg = LossConfig(label_smoothing=0.05)
+    step = make_train_step(cfg, loss_cfg, bundle.tx)
+
+    # fixed synthetic batches: full windows, all targets non-pad, with SEPs
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        x = r.integers(4, 68, (G, B, T)).astype(np.int32)
+        x[..., ::97] = 3  # sprinkle segment boundaries
+        y = np.roll(x, -1, axis=-1)
+        y[..., -1] = 2
+        return {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+
+    batches = [make_batch(s) for s in range(4)]
+    nonpad_per_step = int(np.sum(np.asarray(batches[0]["y"]) != 0))
+    key = jax.random.PRNGKey(1337)
+
+    for i in range(WARMUP_STEPS):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step(
+            params, opt_state, batches[i % len(batches)], k, jnp.float32(1.0)
+        )
+    jax.block_until_ready(params)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        key, k = jax.random.split(key)
+        params, opt_state, metrics = step(
+            params, opt_state, batches[i % len(batches)], k, jnp.float32(1.0)
+        )
+    jax.block_until_ready(params)
+    elapsed = time.perf_counter() - t0
+
+    tokens_per_sec = nonpad_per_step * MEASURE_STEPS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_nonpad_codon_tokens_per_sec_per_chip",
+                "value": round(tokens_per_sec, 1),
+                "unit": "tokens/sec",
+                "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

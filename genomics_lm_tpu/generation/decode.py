@@ -1,0 +1,281 @@
+"""Autoregressive decoding: jitted KV-cache step + uncached parity path.
+
+The KV cache is a static-shape pytree: per layer stacked keys/values of
+shape (L, 1, Hkv, block_size, head_dim) plus a scalar length. ``prefill``
+runs one full forward (capturing every layer's K/V); ``decode_step`` then
+attends one new token against the cache — O(T) per token instead of the
+reference's O(T²) full re-forward (``generate.py:13-27``).
+
+Segment semantics: the running segment counter reproduces
+``cumsum(idx == sep_id)``; a cached decode only attends to positions with
+the same segment id, exactly the training-time mask. Position embeddings and
+RoPE use the absolute position in the (clipped) window, so cached and
+uncached paths emit identical logits while the context fits in
+``block_size``; past that, callers fall back to the reference's
+clip-and-recompute behavior (``next_token_logits``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomics_lm_tpu.models.codon_gpt import (
+    _embed,
+    _layer_norm,
+    _linear,
+    _lm_logits,
+    _qkv,
+    apply_rope,
+    rope_cos_sin,
+)
+from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+from genomics_lm_tpu.ops.attention import NEG_INF
+
+
+def init_cache(cfg: CodonGPTConfig, batch: int = 1) -> dict:
+    """Empty KV cache for ``batch`` sequences."""
+    shape = (cfg.n_layer, batch, cfg.kv_heads, cfg.block_size, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, cfg.dtype),
+        "v": jnp.zeros(shape, cfg.dtype),
+        "seg": jnp.zeros((batch, cfg.block_size), jnp.int32),
+        "length": jnp.zeros((), jnp.int32),
+        "seg_count": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray) -> tuple[jnp.ndarray, dict, dict]:
+    """Full forward over the prompt, returning (last logits, cache, aux)."""
+    B, T = idx.shape
+    cache = init_cache(cfg, B)
+    seg = jnp.cumsum((idx == cfg.sep_id).astype(jnp.int32), axis=1) if cfg.sep_id is not None else jnp.zeros((B, T), jnp.int32)
+
+    x = _embed(params, cfg, idx, None, train=False, rng=None)
+    rope = rope_cos_sin(T, cfg.head_dim, cfg.rope_base, cfg.dtype) if cfg.use_rope else None
+
+    ks, vs = [], []
+    for layer in range(cfg.n_layer):
+        block_p = jax.tree.map(lambda p: p[layer], params["blocks"])
+        h = _layer_norm(block_p["ln1"], x)
+        q, k, v = _qkv(block_p, h, cfg)
+        if rope is not None:
+            q, k = apply_rope(q, k, *rope)
+        ks.append(k)
+        vs.append(v)
+        # standard causal+segment attention over the prompt
+        from genomics_lm_tpu.ops.attention import attention
+
+        y = attention(q, k, v, segment_ids=seg if cfg.sep_id is not None else None)
+        y = y.transpose(0, 2, 1, 3).reshape(B, T, cfg.n_embd)
+        x = x + _linear(block_p["attn"]["proj"], y)
+        h2 = _layer_norm(block_p["ln2"], x)
+        if cfg.use_swiglu:
+            m = _linear(block_p["mlp"]["w_down"],
+                        jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h2))
+                        * _linear(block_p["mlp"]["w_up"], h2))
+        else:
+            m = _linear(block_p["mlp"]["proj"],
+                        jax.nn.gelu(_linear(block_p["mlp"]["fc"], h2), approximate=False))
+        x = x + m
+
+    x = _layer_norm(params["ln_f"], x)
+    logits = _lm_logits(params, cfg, x)
+    aux = _aux_heads(params, cfg, x)
+
+    cache["k"] = cache["k"].at[:, :, :, :T, :].set(jnp.stack(ks))
+    cache["v"] = cache["v"].at[:, :, :, :T, :].set(jnp.stack(vs))
+    cache["seg"] = cache["seg"].at[:, :T].set(seg)
+    cache["length"] = jnp.asarray(T, jnp.int32)
+    cache["seg_count"] = seg[:, -1]
+    return logits[:, -1], cache, {k: v[:, -1] for k, v in aux.items()}
+
+
+def _aux_heads(params, cfg: CodonGPTConfig, x):
+    aux = {}
+    if cfg.termination_aux:
+        aux["termination_logits"] = _linear(params["termination_head"], x)
+    if cfg.multi_offset_targets:
+        for offset in cfg.multi_offset_targets:
+            p = params["offset_projs"][str(offset)]
+            proj = _linear(p["proj"], jax.nn.gelu(_linear(p["fc"], x), approximate=False))
+            aux[f"offset_{offset}_logits"] = _lm_logits(params, cfg, proj)
+    return aux
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def decode_step(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarray):
+    """Append one token per sequence; returns (logits, new_cache, aux).
+
+    ``token``: (B,) int32. Attention masks cached positions by segment id
+    and validity (pos < length); the new token always attends to itself.
+    """
+    B = token.shape[0]
+    length = cache["length"]
+    new_seg = cache["seg_count"] + (
+        (token == cfg.sep_id).astype(jnp.int32) if cfg.sep_id is not None else 0
+    )
+
+    x = params["tok_emb"].astype(cfg.dtype)[token][:, None, :]  # (B, 1, D)
+    if not cfg.use_rope:
+        x = x + params["pos_emb"].astype(cfg.dtype)[length][None, None, :]
+    if cfg.use_rope:
+        cos_full, sin_full = rope_cos_sin(cfg.block_size, cfg.head_dim, cfg.rope_base, cfg.dtype)
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, length, 1, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, length, 1, axis=0)
+
+    positions = jnp.arange(cfg.block_size)
+    # valid cached positions, same-segment (new token's segment = new_seg)
+    base_valid = positions[None, :] < length  # (1, S)
+    if cfg.sep_id is not None:
+        seg_ok = cache["seg"] == new_seg[:, None]
+    else:
+        seg_ok = jnp.ones_like(base_valid, dtype=jnp.bool_)
+
+    new_k = cache["k"]
+    new_v = cache["v"]
+    for layer in range(cfg.n_layer):
+        block_p = jax.tree.map(lambda p: p[layer], params["blocks"])
+        h = _layer_norm(block_p["ln1"], x)
+        q, k, v = _qkv(block_p, h, cfg)  # (B, H, 1, D), (B, Hkv, 1, D)
+        if cfg.use_rope:
+            q, k = apply_rope(q, k, cos, sin)
+        new_k = new_k.at[layer, :, :, :, :].set(
+            jax.lax.dynamic_update_slice_in_dim(new_k[layer], k, length, axis=2)
+        )
+        new_v = new_v.at[layer, :, :, :, :].set(
+            jax.lax.dynamic_update_slice_in_dim(new_v[layer], v, length, axis=2)
+        )
+        k_all = new_k[layer]  # (B, Hkv, S, D)
+        v_all = new_v[layer]
+
+        Hq, Hkv = cfg.n_head, cfg.kv_heads
+        G = Hq // Hkv
+        qg = q.reshape(B, Hkv, G, cfg.head_dim)
+        scores = jnp.einsum(
+            "bhgd,bhsd->bhgs", qg.astype(jnp.float32), k_all.astype(jnp.float32)
+        ) / jnp.sqrt(jnp.float32(cfg.head_dim))
+        valid = base_valid & seg_ok  # (B, S)
+        # the new token's own slot (index == length) is always attendable
+        self_slot = positions[None, :] == length
+        valid = valid | self_slot
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+        y = jnp.einsum("bhgs,bhsd->bhgd", probs, v_all)
+        y = y.reshape(B, 1, cfg.n_embd)
+        x = x + _linear(block_p["attn"]["proj"], y)
+        h2 = _layer_norm(block_p["ln2"], x)
+        if cfg.use_swiglu:
+            m = _linear(block_p["mlp"]["w_down"],
+                        jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h2))
+                        * _linear(block_p["mlp"]["w_up"], h2))
+        else:
+            m = _linear(block_p["mlp"]["proj"],
+                        jax.nn.gelu(_linear(block_p["mlp"]["fc"], h2), approximate=False))
+        x = x + m
+
+    x = _layer_norm(params["ln_f"], x)
+    logits = _lm_logits(params, cfg, x)[:, 0]
+    aux = {k: v[:, 0] for k, v in _aux_heads(params, cfg, x).items()}
+
+    new_cache = {
+        "k": new_k,
+        "v": new_v,
+        "seg": jax.lax.dynamic_update_slice_in_dim(
+            cache["seg"], new_seg[:, None], length, axis=1
+        ),
+        "length": length + 1,
+        "seg_count": new_seg,
+    }
+    return logits, new_cache, aux
+
+
+class CachedDecoder:
+    """Host-side convenience wrapper maintaining a single-sequence cache.
+
+    Falls back to clip-and-recompute (reference semantics) once the context
+    exceeds ``block_size``.
+    """
+
+    def __init__(self, params, cfg: CodonGPTConfig):
+        self.params = params
+        self.cfg = cfg
+        self.ids: list[int] = []
+        self._cache = None
+        self._last_logits = None
+        self._last_aux = None
+
+    def next_logits(self, ids: list[int], return_aux: bool = False):
+        """Logits for the next token after ``ids`` (uses the cache when
+        ``ids`` extends the previous call by exactly one token)."""
+        cfg = self.cfg
+        if len(ids) > cfg.block_size:
+            out = next_token_logits(self.params, cfg, ids, return_aux=return_aux)
+            self.ids = list(ids)
+            self._cache = None
+            return out
+        if (
+            self._cache is not None
+            and len(ids) == len(self.ids) + 1
+            and ids[: len(self.ids)] == self.ids
+        ):
+            token = jnp.asarray([ids[-1]], jnp.int32)
+            logits, self._cache, aux = decode_step(self.params, cfg, self._cache, token)
+        else:
+            logits, self._cache, aux = prefill(
+                self.params, cfg, jnp.asarray([ids], jnp.int32)
+            )
+        self.ids = list(ids)
+        self._last_logits, self._last_aux = logits, aux
+        if return_aux:
+            return np.asarray(logits[0]), {k: np.asarray(v[0]) for k, v in aux.items()}
+        return np.asarray(logits[0])
+
+
+def next_token_logits(params, cfg: CodonGPTConfig, ids, return_aux: bool = False):
+    """Uncached reference path: full forward over the clipped context
+    (parity: ``generate.py:13-27``)."""
+    ctx = list(ids)[-cfg.block_size :]
+    x = jnp.asarray([ctx], jnp.int32)
+    logits, _, aux = codon_gpt.forward(params, cfg, x, None, return_aux=True)
+    flat_aux = {}
+    if "termination_logits" in aux:
+        flat_aux["termination_logits"] = np.asarray(aux["termination_logits"][0, -1])
+    for offset, ol in aux.get("offset_logits", {}).items():
+        flat_aux[f"offset_{offset}_logits"] = np.asarray(ol[0])
+    if return_aux:
+        return np.asarray(logits[0, -1]), flat_aux
+    return np.asarray(logits[0, -1])
+
+
+def sample_token(
+    logits: np.ndarray, temperature: float, topk: int, rng: np.random.Generator
+) -> int:
+    """Temperature + top-k multinomial sampling (parity: generate.py:51-59)."""
+    logits = np.asarray(logits, dtype=np.float64)
+    if temperature != 1.0:
+        logits = logits / max(1e-6, float(temperature))
+    logits = logits - logits.max()
+    probs = np.exp(logits)
+    probs = probs / probs.sum()
+    if topk and topk > 0:
+        k = min(int(topk), probs.size)
+        idxs = np.argpartition(probs, -k)[-k:]
+        vals = probs[idxs]
+        vals = vals / vals.sum()
+        return int(rng.choice(idxs, p=vals))
+    return int(rng.choice(probs.size, p=probs))
+
+
+__all__ = [
+    "CachedDecoder",
+    "decode_step",
+    "init_cache",
+    "next_token_logits",
+    "prefill",
+    "sample_token",
+]

@@ -106,10 +106,17 @@ def init(rng: jax.Array, cfg: CodonGPTConfig) -> dict:
         offset_projs = {}
         for i, offset in enumerate(cfg.multi_offset_targets):
             # Identity-init 2-layer MLP sharing the LM head (ref :234-246).
-            eye = jnp.eye(cfg.n_embd, dtype=jnp.float32)
+            # Each weight gets its own buffer — sharing one array object
+            # across tree leaves breaks jit buffer donation.
             offset_projs[str(offset)] = {
-                "fc": {"w": eye, "b": jnp.zeros((cfg.n_embd,), jnp.float32)},
-                "proj": {"w": eye, "b": jnp.zeros((cfg.n_embd,), jnp.float32)},
+                "fc": {
+                    "w": jnp.eye(cfg.n_embd, dtype=jnp.float32),
+                    "b": jnp.zeros((cfg.n_embd,), jnp.float32),
+                },
+                "proj": {
+                    "w": jnp.eye(cfg.n_embd, dtype=jnp.float32),
+                    "b": jnp.zeros((cfg.n_embd,), jnp.float32),
+                },
             }
         params["offset_projs"] = offset_projs
     return params

@@ -21,10 +21,16 @@ dropout uses the TPU hardware PRNG, seeded per (batch, head, q-block,
 k-block) so the forward and backward kernels regenerate identical masks
 without storing them.
 
+TPU layout notes: Mosaic requires the last two block dims to be
+sublane/lane-aligned (8, 128) or match the array, so 1-D row metadata is
+carried in aligned carrier shapes — query segment ids as (B, T, 8)
+(replicated into an 8-wide trailing dim), key segment ids as (B, 8, S), and
+the saved LSE / dO·O delta as (B, H, T, 8).
+
 GQA: the kernel itself runs with equal q/kv heads; grouped inputs are
 broadcast to q-heads in the wrapper (a few MB at these model scales) while
 the GQA projection savings stay upstream. Gradients are reduced back over
-the group.
+the group by the wrapper's transpose rule.
 
 The backward pass is the standard two-kernel flash split: dq over q-blocks
 (inner loop on keys) and dk/dv over k-blocks (inner loop on queries), with
@@ -42,6 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+_REP = 8  # carrier width for row metadata (sublane alignment)
 
 
 class _FlashConfig(NamedTuple):
@@ -98,14 +105,22 @@ def _dropout_keep(cfg: _FlashConfig, seed, b, h, n_head, qi, kj, num_kb, block_q
     return pltpu.bitcast(bits, jnp.uint32) >= threshold
 
 
+def _seg_mask(cfg, qseg_ref, kseg_ref, kj, block_k, *, q_slice=None):
+    """(bq, bk) same-segment mask from the aligned carrier refs."""
+    if q_slice is None:
+        q_ids = qseg_ref[0][:, 0:1]  # (bq, 1)
+    else:
+        q_ids = qseg_ref[0, q_slice, 0:1]
+    k_ids = kseg_ref[0, 0:1, pl.ds(kj * block_k, block_k)]  # (1, bk)
+    return q_ids == k_ids
+
+
 # --- Forward -----------------------------------------------------------------
 
 
 def _fwd_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
                 out_ref, lse_ref):
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    qi = pl.program_id(2)
+    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_head = pl.num_programs(1)
     block_q, head_dim = q_ref.shape[2], q_ref.shape[3]
     block_k = cfg.block_k
@@ -114,7 +129,6 @@ def _fwd_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg
     scale = 1.0 / (head_dim ** 0.5)
 
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, D)
-    qseg = qseg_ref[0] if cfg.use_segments else None
 
     def body(kj, carry):
         acc, m, l = carry
@@ -125,8 +139,7 @@ def _fwd_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg
         )  # (bq, bk)
         mask = _block_mask(cfg, qi, kj, block_q, block_k)
         if cfg.use_segments:
-            kseg = kseg_ref[0, pl.ds(kj * block_k, block_k)]
-            mask &= qseg[:, None] == kseg[None, :]
+            mask &= _seg_mask(cfg, qseg_ref, kseg_ref, kj, block_k)
         s = jnp.where(mask, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -153,7 +166,19 @@ def _fwd_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg
 
     l_safe = jnp.maximum(l, 1e-30)
     out_ref[0, 0] = (acc / l_safe).astype(out_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l_safe), (block_q, _REP))
+
+
+def _seg_carriers(segment_ids, B, T, S):
+    """(B,S) ids → aligned carriers: qseg (B,T,_REP), kseg (B,_REP,S)."""
+    if segment_ids is None:
+        qseg = jnp.zeros((B, 1, _REP), jnp.int32)
+        kseg = jnp.zeros((B, _REP, 1), jnp.int32)
+        return qseg, kseg
+    seg = segment_ids.astype(jnp.int32)
+    qseg = jnp.broadcast_to(seg[:, -T:, None], (B, T, _REP))
+    kseg = jnp.broadcast_to(seg[:, None, :], (B, _REP, S))
+    return qseg, kseg
 
 
 def _fwd(cfg: _FlashConfig, q, k, v, segment_ids, seed):
@@ -164,36 +189,37 @@ def _fwd(cfg: _FlashConfig, q, k, v, segment_ids, seed):
     cfg = cfg._replace(block_q=block_q, block_k=block_k)
     nq = T // block_q
 
-    if segment_ids is None:
-        qseg = kseg = jnp.zeros((B, 1), jnp.int32)  # placeholder, unused
-    else:
-        qseg = segment_ids[:, -T:].astype(jnp.int32)
-        kseg = segment_ids.astype(jnp.int32)
+    qseg, kseg = _seg_carriers(segment_ids, B, T, S)
+    has_seg = segment_ids is not None
+    qseg_spec = pl.BlockSpec(
+        (1, block_q, _REP) if has_seg else (1, 1, _REP),
+        (lambda b, h, i, *_: (b, i, 0)) if has_seg else (lambda b, h, i, *_: (b, 0, 0)),
+    )
+    kseg_spec = pl.BlockSpec(
+        (1, _REP, S) if has_seg else (1, _REP, 1),
+        lambda b, h, i, *_: (b, 0, 0),
+    )
 
-    grid = (B, H, nq)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(B, H, nq),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, *_: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, S, D), lambda b, h, i, *_: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, S, D), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, block_q) if segment_ids is not None else (1, 1),
-                             (lambda b, h, i, *_: (b, i)) if segment_ids is not None
-                             else (lambda b, h, i, *_: (b, 0))),
-                pl.BlockSpec((1, S) if segment_ids is not None else (1, 1),
-                             (lambda b, h, i, *_: (b, 0))),
+                qseg_spec,
+                kseg_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda b, h, i, *_: (b, h, i)),
+                pl.BlockSpec((1, 1, block_q, _REP), lambda b, h, i, *_: (b, h, i, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, _REP), jnp.float32),
         ],
         interpret=cfg.interpret,
     )(seed, q, k, v, qseg, kseg)
@@ -215,9 +241,8 @@ def _bwd_dq_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, k
 
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
-    qseg = qseg_ref[0] if cfg.use_segments else None
+    lse = lse_ref[0, 0][:, 0:1]
+    delta = delta_ref[0, 0][:, 0:1]
 
     def body(kj, dq_acc):
         k_blk = k_ref[0, 0, pl.ds(kj * block_k, block_k), :].astype(jnp.float32)
@@ -227,13 +252,11 @@ def _bwd_dq_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, k
         )
         mask = _block_mask(cfg, qi, kj, block_q, block_k)
         if cfg.use_segments:
-            kseg = kseg_ref[0, pl.ds(kj * block_k, block_k)]
-            mask &= qseg[:, None] == kseg[None, :]
+            mask &= _seg_mask(cfg, qseg_ref, kseg_ref, kj, block_k)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-
         dpd = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk) = dO V^T
+        )
         if cfg.dropout_rate > 0.0:
             keep = _dropout_keep(cfg, seed_ref[0], b, h, n_head, qi, kj,
                                  num_kb, block_q, block_k)
@@ -241,10 +264,9 @@ def _bwd_dq_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, k
         else:
             pd = p
         ds = pd * dpd - p * delta
-        dq_acc = dq_acc + scale * jax.lax.dot_general(
+        return dq_acc + scale * jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return dq_acc
 
     lo, hi = _band_bounds(cfg, qi, num_kb, block_q, block_k)
     dq = jax.lax.fori_loop(lo, hi, body, jnp.zeros((block_q, head_dim), jnp.float32))
@@ -264,21 +286,22 @@ def _bwd_dkv_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, 
 
     k_blk = k_ref[0, 0].astype(jnp.float32)
     v_blk = v_ref[0, 0].astype(jnp.float32)
-    kseg = kseg_ref[0] if cfg.use_segments else None
 
     def body(qi, carry):
         dk_acc, dv_acc = carry
         q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q), 0:1]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q), 0:1]
         s = scale * jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         mask = _block_mask(cfg, qi, kj, block_q, block_k)
         if cfg.use_segments:
-            qseg = qseg_ref[0, pl.ds(qi * block_q, block_q)]
-            mask &= qseg[:, None] == kseg[None, :]
+            mask &= _seg_mask(
+                cfg, qseg_ref, kseg_ref, kj, block_k,
+                q_slice=pl.ds(qi * block_q, block_q),
+            )
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dpd = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -292,13 +315,12 @@ def _bwd_dkv_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, 
         ds = pd * dpd - p * delta
         dv_acc = dv_acc + jax.lax.dot_general(
             pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bk, D) = Pd^T dO
+        )
         dk_acc = dk_acc + scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bk, D) = dS^T Q
+        )
         return dk_acc, dv_acc
 
-    # q-blocks overlapping this k-block's band
     if cfg.causal:
         lo = jax.lax.div(kj * block_k, block_q)
     else:
@@ -325,16 +347,14 @@ def _bwd(cfg: _FlashConfig, res, g):
     nq, nk = T // block_q, S // block_k
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (B, H, T, _REP))
 
-    if segment_ids is None:
-        qseg = kseg = jnp.zeros((B, 1), jnp.int32)
-        qseg_spec = pl.BlockSpec((1, 1), lambda b, h, i, *_: (b, 0))
-        kseg_spec = pl.BlockSpec((1, 1), lambda b, h, i, *_: (b, 0))
-    else:
-        qseg = segment_ids[:, -T:].astype(jnp.int32)
-        kseg = segment_ids.astype(jnp.int32)
-        qseg_spec = pl.BlockSpec((1, T), lambda b, h, i, *_: (b, 0))
-        kseg_spec = pl.BlockSpec((1, S), lambda b, h, i, *_: (b, 0))
+    qseg, kseg = _seg_carriers(segment_ids, B, T, S)
+    has_seg = segment_ids is not None
+    kseg_spec = pl.BlockSpec(
+        (1, _REP, S) if has_seg else (1, _REP, 1),
+        lambda b, h, j, *_: (b, 0, 0),
+    )
 
     common_in = [q, k, v, qseg, kseg, do, lse, delta]
 
@@ -347,13 +367,15 @@ def _bwd(cfg: _FlashConfig, res, g):
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, *_: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, S, D), lambda b, h, i, *_: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, S, D), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, block_q) if segment_ids is not None else (1, 1),
-                             (lambda b, h, i, *_: (b, i)) if segment_ids is not None
-                             else (lambda b, h, i, *_: (b, 0))),
+                pl.BlockSpec(
+                    (1, block_q, _REP) if has_seg else (1, 1, _REP),
+                    (lambda b, h, i, *_: (b, i, 0)) if has_seg
+                    else (lambda b, h, i, *_: (b, 0, 0)),
+                ),
                 kseg_spec,
                 pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda b, h, i, *_: (b, h, i)),
-                pl.BlockSpec((1, 1, block_q), lambda b, h, i, *_: (b, h, i)),
+                pl.BlockSpec((1, 1, block_q, _REP), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, _REP), lambda b, h, i, *_: (b, h, i, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, *_: (b, h, i, 0)),
         ),
@@ -370,13 +392,18 @@ def _bwd(cfg: _FlashConfig, res, g):
                 pl.BlockSpec((1, 1, T, D), lambda b, h, j, *_: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, *_: (b, h, j, 0)),
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, *_: (b, h, j, 0)),
-                qseg_spec,
-                pl.BlockSpec((1, block_k) if segment_ids is not None else (1, 1),
-                             (lambda b, h, j, *_: (b, j)) if segment_ids is not None
-                             else (lambda b, h, j, *_: (b, 0))),
+                pl.BlockSpec(
+                    (1, T, _REP) if has_seg else (1, 1, _REP),
+                    lambda b, h, j, *_: (b, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, _REP, block_k) if has_seg else (1, _REP, 1),
+                    (lambda b, h, j, *_: (b, 0, j)) if has_seg
+                    else (lambda b, h, j, *_: (b, 0, 0)),
+                ),
                 pl.BlockSpec((1, 1, T, D), lambda b, h, j, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, T), lambda b, h, j, *_: (b, h, 0)),
-                pl.BlockSpec((1, 1, T), lambda b, h, j, *_: (b, h, 0)),
+                pl.BlockSpec((1, 1, T, _REP), lambda b, h, j, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, T, _REP), lambda b, h, j, *_: (b, h, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, *_: (b, h, j, 0)),

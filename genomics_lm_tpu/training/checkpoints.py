@@ -68,7 +68,7 @@ def _unflatten(skel: Any, arrays) -> Any:
     if isinstance(skel, dict):
         if _ARRAY_TAG in skel:
             arr = arrays[skel[_ARRAY_TAG]]
-            if skel.get("dtype") == _BFLOAT16_TAG:
+            if skel.get("dtype") == _BFLOAT16_TAG and isinstance(arr, np.ndarray):
                 import jax.numpy as jnp
 
                 return np.asarray(arr).view(jnp.bfloat16.dtype)

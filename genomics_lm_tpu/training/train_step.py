@@ -56,10 +56,14 @@ class LossConfig:
     termination_bucket_edges: tuple[int, ...] = (0, 3, 10, 30)
     replay_enabled: bool = False
     replay_weight: float = 1.0
+    termination_class_weights: tuple[float, ...] | None = None
+    replay_class_weights: tuple[float, ...] | None = None
 
     @classmethod
     def from_run_config(cls, cfg: dict, stop_ids: tuple[int, ...]) -> "LossConfig":
         offsets = cfg.get("multi_offset_weights") or {}
+        term_cw = cfg.get("termination_class_weights")
+        replay_cw = cfg.get("replay_class_weights")
         return cls(
             multi_offset_weights=tuple(sorted((int(k), float(v)) for k, v in offsets.items())),
             label_smoothing=float(cfg.get("label_smoothing", 0.0)),
@@ -69,6 +73,8 @@ class LossConfig:
             termination_bucket_edges=tuple(cfg.get("termination_bucket_edges", (0, 3, 10, 30))),
             replay_enabled=bool(cfg.get("replay_loss_enabled", False)),
             replay_weight=float(cfg.get("replay_loss_weight", 1.0)),
+            termination_class_weights=tuple(term_cw) if term_cw else None,
+            replay_class_weights=tuple(replay_cw) if replay_cw else None,
         )
 
 
@@ -117,7 +123,14 @@ def composite_loss(
             stop_ids=loss_cfg.termination_stop_ids,
             bucket_edges=loss_cfg.termination_bucket_edges,
         )
-        term_loss = L.termination_aux_loss(aux["termination_logits"], term_labels)
+        term_cw = (
+            jnp.asarray(loss_cfg.termination_class_weights, jnp.float32)
+            if loss_cfg.termination_class_weights
+            else None
+        )
+        term_loss = L.termination_aux_loss(
+            aux["termination_logits"], term_labels, class_weights=term_cw
+        )
         total = total + loss_cfg.termination_weight * term_loss
         parts["term_loss"] = term_loss
 
@@ -126,8 +139,13 @@ def composite_loss(
         _, _, replay_aux = codon_gpt.forward(
             params, model_cfg, replay_x, None, train=train, rng=rng, return_aux=True
         )
+        replay_cw = (
+            jnp.asarray(loss_cfg.replay_class_weights, jnp.float32)
+            if loss_cfg.replay_class_weights
+            else None
+        )
         replay_loss = L.termination_aux_loss(
-            replay_aux["termination_logits"], replay_labels
+            replay_aux["termination_logits"], replay_labels, class_weights=replay_cw
         )
         total = total + loss_cfg.replay_weight * replay_loss
         parts["replay_loss"] = replay_loss

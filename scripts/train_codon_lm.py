@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""CLI front-end for the codon-LM trainer.
+
+Parity: reference ``src/codonlm/train_codon_lm.py`` — argparse wrapper
+merging the YAML config's ``data:`` sub-map into the flat namespace, with
+path/run-id/resume/transfer/wall-time overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train a TPU-native codon LM")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--run_id", default=None)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--transfer_from", default=None)
+    ap.add_argument("--train_npz", nargs="*", default=None)
+    ap.add_argument("--val_npz", nargs="*", default=None)
+    ap.add_argument("--test_npz", nargs="*", default=None)
+    ap.add_argument("--save_epochs", action="store_true")
+    ap.add_argument("--max_time_minutes", type=float, default=None)
+    ap.add_argument("--run_root", default="runs")
+    ap.add_argument("--mesh_devices", type=int, default=None,
+                    help="data-parallel device count (default: all local devices)")
+    args = ap.parse_args(argv)
+
+    from genomics_lm_tpu.training.config import load_yaml_config
+    from genomics_lm_tpu.training.loop import run_training
+
+    cfg = load_yaml_config(args.config)
+    if args.run_id:
+        cfg["run_id"] = args.run_id
+    if args.train_npz:
+        cfg["train_npz"] = args.train_npz
+    if args.val_npz:
+        cfg["val_npz"] = args.val_npz
+    if args.test_npz:
+        cfg["test_npz"] = args.test_npz
+    if args.save_epochs:
+        cfg["save_epochs"] = True
+    if args.max_time_minutes is not None:
+        cfg["max_time_minutes"] = args.max_time_minutes
+    if args.transfer_from:
+        cfg["transfer_from"] = args.transfer_from
+
+    mesh = None
+    n_mesh = args.mesh_devices or cfg.get("mesh_devices")
+    if n_mesh:
+        from genomics_lm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(int(n_mesh))
+
+    run_training(
+        cfg,
+        config_path=args.config,
+        resume=args.resume,
+        transfer_from=cfg.get("transfer_from"),
+        run_root=args.run_root,
+        mesh=mesh,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

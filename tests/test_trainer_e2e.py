@@ -1,0 +1,213 @@
+"""End-to-end trainer tests on synthetic fixtures (reference §4 pattern).
+
+Mirrors the reference's subprocess-E2E strategy in-process: tiny NPZ packs +
+itos fabricated into tmp_path, full ``run_training`` runs, asserting
+checkpoint files, meta status, resume behavior, and failure safeguards.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from genomics_lm_tpu.tokenizers.codon import write_itos
+from genomics_lm_tpu.training.lifecycle import RunLifecycleError
+from genomics_lm_tpu.training.loop import NonfiniteGroupLimitError, run_training
+from genomics_lm_tpu.training import checkpoints as ckpt_lib
+
+
+def make_fixture(tmp_path, n_train=32, n_val=8, block=16, dynamic=False):
+    rng = np.random.default_rng(0)
+    for name, n in [("train", n_train), ("val", n_val)]:
+        if dynamic:
+            lengths = rng.integers(4, block + 1, n).astype(np.int32)
+            X = rng.integers(4, 68, int(lengths.sum())).astype(np.int32)
+            np.savez(tmp_path / f"{name}.npz", X=X, lengths=lengths)
+        else:
+            X = rng.integers(4, 68, (n, block)).astype(np.int32)
+            Y = np.roll(X, -1, axis=1)
+            Y[:, -1] = 0
+            np.savez(tmp_path / f"{name}.npz", X=X, Y=Y)
+    write_itos(tmp_path / "itos.txt")
+
+
+def base_cfg(tmp_path, **kw):
+    cfg = dict(
+        train_npz=str(tmp_path / "train.npz"),
+        val_npz=str(tmp_path / "val.npz"),
+        block_size=16,
+        n_layer=1,
+        n_head=2,
+        n_embd=16,
+        dropout=0.0,
+        batch_size=8,
+        grad_accum_steps=2,
+        lr=1e-3,
+        min_lr=1e-4,
+        warmup_steps=2,
+        epochs=2,
+        seed=1337,
+        run_id="t-run",
+        early_stop_patience=0,
+    )
+    cfg.update(kw)
+    return cfg
+
+
+class TestEndToEnd:
+    def test_train_completes_with_artifacts(self, tmp_path):
+        make_fixture(tmp_path)
+        meta = run_training(base_cfg(tmp_path), run_root=str(tmp_path / "runs"))
+        assert meta["status"] == "completed"
+        run_dir = tmp_path / "runs" / "t-run"
+        for f in (
+            "checkpoints/last.npz", "checkpoints/best.npz", "checkpoints/meta.json",
+            "scores/curves.csv", "scores/metrics.json", "itos.txt",
+            "vocabulary.json", "run_complete.json",
+        ):
+            assert (run_dir / f).exists(), f
+        curves = (run_dir / "scores" / "curves.csv").read_text().strip().splitlines()
+        assert len(curves) == 3  # header + 2 epochs
+        payload = ckpt_lib.load_checkpoint(run_dir / "checkpoints" / "last.npz")
+        assert payload["run_progress"]["completed_epochs"] == 2
+        # 32 windows / batch 8 = 4 microbatches/epoch; gacc 2 → 2 steps/epoch
+        assert payload["step"] == 4
+        meta_json = json.loads((run_dir / "checkpoints" / "meta.json").read_text())
+        assert meta_json["status"] == "completed"
+
+    def test_dynamic_dataset_trains(self, tmp_path):
+        make_fixture(tmp_path, dynamic=True)
+        meta = run_training(
+            base_cfg(tmp_path, run_id="dyn-run", bucket_batching=True),
+            run_root=str(tmp_path / "runs"),
+        )
+        assert meta["status"] == "completed"
+
+    def test_resume_continues(self, tmp_path):
+        make_fixture(tmp_path)
+        run_training(base_cfg(tmp_path), run_root=str(tmp_path / "runs"))
+        last = tmp_path / "runs" / "t-run" / "checkpoints" / "last.npz"
+        # completed run: resuming with a higher epoch target continues
+        meta = run_training(
+            base_cfg(tmp_path, epochs=3),
+            resume=str(last),
+            run_root=str(tmp_path / "runs"),
+        )
+        assert meta["status"] == "completed"
+        payload = ckpt_lib.load_checkpoint(last)
+        assert payload["run_progress"]["completed_epochs"] == 3
+        curves = (tmp_path / "runs" / "t-run" / "scores" / "curves.csv").read_text()
+        assert len(curves.strip().splitlines()) == 4
+
+    def test_resume_without_higher_target_fails(self, tmp_path):
+        make_fixture(tmp_path)
+        run_training(base_cfg(tmp_path), run_root=str(tmp_path / "runs"))
+        last = tmp_path / "runs" / "t-run" / "checkpoints" / "last.npz"
+        with pytest.raises(RunLifecycleError):
+            run_training(
+                base_cfg(tmp_path, epochs=2),
+                resume=str(last),
+                run_root=str(tmp_path / "runs"),
+            )
+
+    def test_serial_run_dirs(self, tmp_path):
+        make_fixture(tmp_path)
+        run_training(base_cfg(tmp_path, epochs=1), run_root=str(tmp_path / "runs"))
+        run_training(base_cfg(tmp_path, epochs=1), run_root=str(tmp_path / "runs"))
+        assert (tmp_path / "runs" / "t-run").exists()
+        assert (tmp_path / "runs" / "t-run-r002").exists()
+
+    def test_wall_time_stops_gracefully(self, tmp_path):
+        make_fixture(tmp_path, n_train=256)
+        meta = run_training(
+            base_cfg(tmp_path, run_id="wt-run", epochs=50, max_time_minutes=1e-4),
+            run_root=str(tmp_path / "runs"),
+        )
+        assert meta["status"] == "stopped"
+        payload = ckpt_lib.load_checkpoint(
+            tmp_path / "runs" / "wt-run" / "checkpoints" / "last.npz"
+        )
+        assert payload["checkpoint_reason"] == "wall_time"
+
+    def test_nonfinite_group_limit(self, tmp_path):
+        make_fixture(tmp_path)
+        # lr large enough to blow params to NaN after the first update
+        cfg = base_cfg(
+            tmp_path, run_id="nf-run", lr=1e30, warmup_steps=0, epochs=3,
+            max_nonfinite_accumulation_groups=0,
+        )
+        with pytest.raises(NonfiniteGroupLimitError):
+            run_training(cfg, run_root=str(tmp_path / "runs"))
+        payload = ckpt_lib.load_checkpoint(
+            tmp_path / "runs" / "nf-run" / "checkpoints" / "last.npz"
+        )
+        assert payload["checkpoint_reason"] == "nonfinite_group_limit"
+        meta = json.loads(
+            (tmp_path / "runs" / "nf-run" / "checkpoints" / "meta.json").read_text()
+        )
+        assert meta["status"] == "failed"
+        assert meta["accumulation_health"]["aborted_groups"] >= 1
+
+    def test_transfer_from(self, tmp_path):
+        make_fixture(tmp_path)
+        run_training(base_cfg(tmp_path, epochs=1), run_root=str(tmp_path / "runs"))
+        last = tmp_path / "runs" / "t-run" / "checkpoints" / "last.npz"
+        meta = run_training(
+            base_cfg(tmp_path, run_id="xfer-run", epochs=1),
+            transfer_from=str(last),
+            run_root=str(tmp_path / "runs"),
+        )
+        assert meta["status"] == "completed"
+        vocab_json = json.loads(
+            (tmp_path / "runs" / "xfer-run" / "vocabulary.json").read_text()
+        )
+        assert vocab_json["legacy_adaptation"] is True
+
+    def test_plateau_scheduler(self, tmp_path):
+        make_fixture(tmp_path)
+        meta = run_training(
+            base_cfg(tmp_path, run_id="plateau-run", scheduler="plateau",
+                     plateau_patience=0, epochs=3),
+            run_root=str(tmp_path / "runs"),
+        )
+        assert meta["status"] == "completed"
+
+    def test_aux_losses_train(self, tmp_path):
+        make_fixture(tmp_path)
+        meta = run_training(
+            base_cfg(
+                tmp_path, run_id="aux-run", epochs=1,
+                termination_aux=True, termination_loss_enabled=True,
+                multi_offset_targets=[2, 3], multi_offset_weights={2: 0.5, 3: 0.25},
+            ),
+            run_root=str(tmp_path / "runs"),
+        )
+        assert meta["status"] == "completed"
+        assert meta["last_train_term_loss"] is not None
+        curves = (
+            tmp_path / "runs" / "aux-run" / "scores" / "curves.csv"
+        ).read_text().splitlines()
+        assert "train_offset_2" in curves[0] and "train_term_loss" in curves[0]
+
+
+class TestCheckpointStore:
+    def test_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        payload = {
+            "model": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "bf16": jnp.ones((4,), jnp.bfloat16),
+            "nested": {"t": (1, "two", None, [3.5, True])},
+            "step": 7,
+        }
+        path = tmp_path / "c.npz"
+        ckpt_lib.save_checkpoint(payload, path)
+        out = ckpt_lib.load_checkpoint(path)
+        np.testing.assert_array_equal(out["model"]["w"], payload["model"]["w"])
+        assert out["nested"]["t"] == (1, "two", None, [3.5, True])
+        assert out["step"] == 7
+        assert np.asarray(out["bf16"]).dtype == jnp.bfloat16.dtype
+        meta = ckpt_lib.load_checkpoint_meta(path)
+        assert meta["step"] == 7
+        arr = ckpt_lib.checkpoint_array(path, "model/w")
+        np.testing.assert_array_equal(arr, payload["model"]["w"])
