@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Manifest-bound intrinsic evaluation: val/test NLL/PPL + Markov baselines.
+
+Parity: reference ``scripts/evaluate_test.py`` + ``scripts/eval_ppl_baselines.py``
+— exact token-weighted corpus NLL/PPL on frozen splits, uniform/unigram/
+bigram/trigram comparison with <SEP> history reset, optional context-window
+ablation, JSON report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from scripts._shared import resolve_run_dir  # noqa: E402
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_id")
+    ap.add_argument("--test_npz", required=True)
+    ap.add_argument("--train_npz", default=None,
+                    help="fit Markov baselines on this split")
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--alpha", type=float, default=0.01)
+    ap.add_argument("--context_ablation", action="store_true")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--run_root", default="runs")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from genomics_lm_tpu.data.datasets import PackedDataset
+    from genomics_lm_tpu.evals import markov
+    from genomics_lm_tpu.evals.perplexity import context_ablation, evaluate_perplexity
+    from genomics_lm_tpu.evals.playground import load_codon_model
+
+    run_dir = resolve_run_dir(args.run_id, args.run_root)
+    params, cfg, itos, stoi = load_codon_model(run_dir, args.checkpoint)
+    cfg = cfg.replace(dropout=0.0)
+
+    report = {
+        "run_id": run_dir.name,
+        "test_npz": str(args.test_npz),
+        "model": evaluate_perplexity(
+            params, cfg, args.test_npz, batch_size=args.batch_size
+        ),
+    }
+    if args.train_npz:
+        train_ds = PackedDataset(args.train_npz)
+        test_ds = PackedDataset(args.test_npz)
+
+        def xy(ds):
+            xs, ys = [], []
+            for i in range(0, len(ds), 512):
+                x, y = ds.fetch_batch(list(range(i, min(i + 512, len(ds)))))
+                xs.append(x)
+                ys.append(y)
+            return np.concatenate(xs), np.concatenate(ys)
+
+        reset_ids = frozenset(
+            i for i, tok in enumerate(itos) if tok == "<SEP>"
+        )
+        counts = markov.fit_baselines(
+            *xy(train_ds), len(itos), args.alpha, reset_token_ids=reset_ids
+        )
+        results, tokens, best = markov.evaluate_baselines(
+            *xy(test_ds), counts, len(itos), args.alpha, reset_token_ids=reset_ids
+        )
+        report["baselines"] = results
+        report["baseline_tokens"] = tokens
+        report["best_simple_model"] = best
+        report["beats_best_simple"] = (
+            report["model"]["nll"] < results[best]["cross_entropy_nats"]
+        )
+    if args.context_ablation:
+        report["context_ablation"] = context_ablation(
+            params, cfg, args.test_npz, batch_size=args.batch_size
+        )
+
+    out_path = Path(args.out) if args.out else run_dir / "scores" / "test_evaluation.json"
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report["model"], indent=2))
+    if "baselines" in report:
+        print("best simple model:", report["best_simple_model"],
+              "| model beats it:", report["beats_best_simple"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
