@@ -232,6 +232,26 @@ def run_training(
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     params = codon_gpt.init(init_key, model_cfg)
+
+    # shape guidance: attach the nucleotide encoder + codon one-hot LUT
+    shape_lookup = None
+    if model_cfg.use_shape_guidance:
+        from genomics_lm_tpu.models import biophysics
+
+        key, enc_key = jax.random.split(key)
+        if cfg.get("shape_encoder_checkpoint"):
+            enc_payload = ckpt_lib.load_checkpoint(cfg["shape_encoder_checkpoint"])
+            params["shape_encoder"] = jax.tree.map(
+                jnp.asarray, enc_payload.get("encoder", enc_payload.get("model", enc_payload))
+            )
+        else:
+            params["shape_encoder"] = biophysics.init_encoder(enc_key)
+        shape_lookup = jnp.asarray(biophysics.shape_lookup_table())
+        print(
+            f"[biophysics] shape guidance on; encoder "
+            f"{'unfrozen' if cfg.get('unfreeze_encoder') else 'frozen'}"
+        )
+
     n_params = codon_gpt.param_count(params)
     print(f"[model] params={n_params} spec={model_cfg.to_dict()}")
 
@@ -322,9 +342,10 @@ def run_training(
             return jax.device_put(jnp.asarray(arr), group_sharding)
 
     train_step = make_train_step(
-        model_cfg, loss_cfg, bundle.tx, use_replay=loss_cfg.replay_enabled
+        model_cfg, loss_cfg, bundle.tx, use_replay=loss_cfg.replay_enabled,
+        shape_lookup=shape_lookup,
     )
-    eval_step = make_eval_step(model_cfg, loss_cfg)
+    eval_step = make_eval_step(model_cfg, loss_cfg, shape_lookup=shape_lookup)
 
     # --- resume --------------------------------------------------------------
     start_epoch = 0

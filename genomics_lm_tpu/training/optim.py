@@ -111,10 +111,18 @@ class PlateauScheduler:
         self.current_scale = float(state.get("current_scale", 1.0))
 
 
-def param_group_labels(params: dict, *, freeze_backbone: bool = False) -> dict:
-    """Label each leaf 'fast' | 'base' | 'frozen' by its tree path."""
+def param_group_labels(
+    params: dict, *, freeze_backbone: bool = False, unfreeze_encoder: bool = False
+) -> dict:
+    """Label each leaf 'fast' | 'base' | 'frozen' by its tree path.
+
+    The shape encoder trains in the base group only when explicitly
+    unfrozen (reference ``loop.py:670-695``); otherwise it stays frozen.
+    """
 
     def label_path(path: str) -> str:
+        if "shape_encoder" in path:
+            return "base" if (unfreeze_encoder and not freeze_backbone) else "frozen"
         fast = any(marker in path for marker in FAST_GROUP_MARKERS)
         if freeze_backbone:
             return "fast" if fast else "frozen"
@@ -188,7 +196,11 @@ def build_optimizer(cfg: dict, params: dict, total_steps: int) -> OptimizerBundl
         "base": make_tx(base_schedule, weight_decay),
         "frozen": optax.set_to_zero(),
     }
-    labels = param_group_labels(params, freeze_backbone=freeze_backbone)
+    labels = param_group_labels(
+        params,
+        freeze_backbone=freeze_backbone,
+        unfreeze_encoder=bool(cfg.get("unfreeze_encoder", False)),
+    )
     tx = optax.multi_transform(transforms, labels)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)

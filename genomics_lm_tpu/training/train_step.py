@@ -78,6 +78,22 @@ class LossConfig:
         )
 
 
+def _shape_embeddings_for(params: dict, xb: jnp.ndarray, shape_lookup):
+    """Token batch → codon-aligned DNA-shape features via the encoder.
+
+    Mirrors the reference's lookup-table path (``loop.py``: one-hot the
+    3 nucleotides of every codon token, run the NucleotideEncoder) but
+    entirely inside the compiled step.
+    """
+    if shape_lookup is None or "shape_encoder" not in params:
+        return None
+    from genomics_lm_tpu.models.biophysics import encode
+
+    B, T = xb.shape
+    one_hots = shape_lookup[xb].reshape(B, 3 * T, 4)
+    return encode(params["shape_encoder"], one_hots)
+
+
 def composite_loss(
     params: dict,
     model_cfg: CodonGPTConfig,
@@ -89,8 +105,11 @@ def composite_loss(
     rng: jax.Array | None,
     replay: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     shape_embeddings: jnp.ndarray | None = None,
+    shape_lookup: jnp.ndarray | None = None,
 ):
     """Total loss + parts for one microbatch (parity: loop.py fwd())."""
+    if shape_embeddings is None:
+        shape_embeddings = _shape_embeddings_for(params, xb, shape_lookup)
     need_aux = loss_cfg.termination_enabled or bool(loss_cfg.multi_offset_weights)
     logits, next_loss, aux = codon_gpt.forward(
         params, model_cfg, xb, yb,
@@ -180,6 +199,7 @@ def make_train_step(
     *,
     use_replay: bool = False,
     donate: bool = True,
+    shape_lookup: jnp.ndarray | None = None,
 ) -> Callable:
     """Build the jitted group step.
 
@@ -217,11 +237,13 @@ def make_train_step(
                     total_base, parts = composite_loss(
                         p, model_cfg, loss_cfg, xb, yb,
                         train=True, rng=mrng, replay=None,
+                        shape_lookup=shape_lookup,
                     )
                     def with_replay(_):
                         total_r, parts_r = composite_loss(
                             p, model_cfg, loss_cfg, xb, yb,
                             train=True, rng=mrng, replay=replay,
+                            shape_lookup=shape_lookup,
                         )
                         return total_r, parts_r.get("replay_loss", jnp.float32(0.0))
                     def without_replay(_):
@@ -230,7 +252,8 @@ def make_train_step(
                     parts["replay_loss_value"] = replay_loss
                     return total, parts
                 return composite_loss(
-                    p, model_cfg, loss_cfg, xb, yb, train=True, rng=mrng
+                    p, model_cfg, loss_cfg, xb, yb, train=True, rng=mrng,
+                    shape_lookup=shape_lookup,
                 )
 
             (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -308,12 +331,18 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
-def make_eval_step(model_cfg: CodonGPTConfig, loss_cfg: LossConfig) -> Callable:
+def make_eval_step(
+    model_cfg: CodonGPTConfig,
+    loss_cfg: LossConfig,
+    *,
+    shape_lookup: jnp.ndarray | None = None,
+) -> Callable:
     """Jitted validation step over one (B, T) batch → loss parts + counts."""
 
     def step(params, xb, yb):
         total, parts = composite_loss(
-            params, model_cfg, loss_cfg, xb, yb, train=False, rng=None
+            params, model_cfg, loss_cfg, xb, yb, train=False, rng=None,
+            shape_lookup=shape_lookup,
         )
         out = {
             "total_loss": total,

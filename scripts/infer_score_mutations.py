@@ -1,0 +1,18 @@
+#!/usr/bin/env python3
+"""Thin mutation-scoring front-end (reference infer_score_mutations.py)."""
+
+from __future__ import annotations
+
+import sys
+
+from scripts._shared import REPO_ROOT  # noqa: F401, E402
+
+
+def main(argv=None) -> int:
+    from scripts.score_mutations import main as score_main
+
+    return score_main(sys.argv[1:] if argv is None else argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
