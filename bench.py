@@ -79,12 +79,17 @@ def main() -> None:
     nonpad_per_step = int(np.sum(np.asarray(batches[0]["y"]) != 0))
     key = jax.random.PRNGKey(1337)
 
+    def hard_sync(metrics):
+        # block_until_ready can be a no-op on remote/tunneled runtimes; a
+        # scalar value fetch forces the full execution queue to drain
+        return float(metrics["total_loss_sum"])
+
     for i in range(WARMUP_STEPS):
         key, k = jax.random.split(key)
         params, opt_state, metrics = step(
             params, opt_state, batches[i % len(batches)], k, jnp.float32(1.0)
         )
-    jax.block_until_ready(params)
+    hard_sync(metrics)
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
@@ -92,7 +97,7 @@ def main() -> None:
         params, opt_state, metrics = step(
             params, opt_state, batches[i % len(batches)], k, jnp.float32(1.0)
         )
-    jax.block_until_ready(params)
+    hard_sync(metrics)
     elapsed = time.perf_counter() - t0
 
     tokens_per_sec = nonpad_per_step * MEASURE_STEPS / elapsed

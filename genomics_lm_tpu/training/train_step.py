@@ -198,7 +198,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     *,
     use_replay: bool = False,
-    donate: bool = True,
+    donate: bool = False,
     shape_lookup: jnp.ndarray | None = None,
 ) -> Callable:
     """Build the jitted group step.
@@ -212,6 +212,11 @@ def make_train_step(
     group size) and optionally ``replay_x``/``replay_labels``/(G,) bool
     ``replay_mask``. ``metrics`` carries the group's loss sums and abort
     counters as device scalars.
+
+    ``donate`` (params/opt_state buffer donation) is opt-in: it halves peak
+    HBM on real local chips, but on remote/tunneled runtimes donation can
+    force full parameter round trips per step (measured 70x slowdown on the
+    axon relay), so the safe default is off.
     """
 
     def step(params, opt_state, batch, rng, lr_scale):

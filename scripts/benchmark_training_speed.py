@@ -44,15 +44,17 @@ y = np.roll(x, -1, axis=-1); y[..., -1] = 2
 batch = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
 key = jax.random.PRNGKey(0)
 warmup, measure = spec.get("warmup_steps", 2), spec.get("measure_steps", 8)
+def hard_sync(metrics):
+    return float(metrics["total_loss_sum"])
 for _ in range(warmup):
     key, k = jax.random.split(key)
     params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
-jax.block_until_ready(params)
+hard_sync(m)
 t0 = time.perf_counter()
 for _ in range(measure):
     key, k = jax.random.split(key)
     params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
-jax.block_until_ready(params)
+hard_sync(m)
 dt = time.perf_counter() - t0
 nonpad = int((y != 0).sum())
 print(json.dumps({

@@ -53,10 +53,12 @@ def main(argv=None) -> int:
     batch = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
     key = jax.random.PRNGKey(0)
 
+    from genomics_lm_tpu.utils.sync import hard_sync
+
     # compile outside the trace
     key, k = jax.random.split(key)
-    params, opt_state, _ = step(params, opt_state, batch, k, jnp.float32(1.0))
-    jax.block_until_ready(params)
+    params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
+    hard_sync(m)
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -65,8 +67,8 @@ def main(argv=None) -> int:
         for _ in range(args.steps):
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
-            params, opt_state, _ = step(params, opt_state, batch, k, jnp.float32(1.0))
-            jax.block_until_ready(params)
+            params, opt_state, m = step(params, opt_state, batch, k, jnp.float32(1.0))
+            hard_sync(m)
             timings.append(time.perf_counter() - t0)
 
     nonpad = int((y != 0).sum())
