@@ -17,6 +17,11 @@ import subprocess
 import sys
 from pathlib import Path
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from scripts._shared import REPO_ROOT  # noqa: E402
 
 OOM_PATTERNS = ("out of memory", "oom", "allocate", "allocation", "hbm capacity")

@@ -12,6 +12,11 @@ import argparse
 import json
 from pathlib import Path
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from scripts._shared import resolve_run_dir  # noqa: E402
 
 PRESETS = {

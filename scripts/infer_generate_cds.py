@@ -5,6 +5,11 @@ from __future__ import annotations
 
 import sys
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from scripts._shared import REPO_ROOT  # noqa: F401, E402
 
 

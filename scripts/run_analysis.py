@@ -6,6 +6,11 @@ from __future__ import annotations
 import argparse
 import json
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from scripts._shared import resolve_run_dir  # noqa: E402
 
 

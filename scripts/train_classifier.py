@@ -15,6 +15,11 @@ import json
 import pickle
 from pathlib import Path
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 from scripts._shared import REPO_ROOT  # noqa: F401, E402
 
 KINDS = ("probe_logreg", "probe_svm", "mlp", "kmer_logreg", "kmer_svm", "kmer_xgb")
