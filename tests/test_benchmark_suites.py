@@ -1,0 +1,256 @@
+"""Benchmark-suite CLIs driven end-to-end on a tiny trained run."""
+
+import csv
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    from genomics_lm_tpu.tokenizers.codon import write_itos
+    from genomics_lm_tpu.training.loop import run_training
+
+    work = tmp_path_factory.mktemp("bench")
+    rng = np.random.default_rng(0)
+    for name, n in (("train", 48), ("val", 16)):
+        X = rng.integers(4, 68, (n, 24)).astype(np.int32)
+        X[:, 0] = 1
+        Y = np.roll(X, -1, axis=1)
+        Y[:, -1] = 2
+        np.savez(work / f"{name}.npz", X=X, Y=Y)
+    write_itos(work / "itos.txt")
+    cfg = dict(
+        train_npz=str(work / "train.npz"), val_npz=str(work / "val.npz"),
+        block_size=24, n_layer=1, n_head=2, n_embd=16, dropout=0.0,
+        batch_size=8, grad_accum_steps=1, lr=1e-3, warmup_steps=1,
+        epochs=2, seed=0, run_id="bench-run", save_epochs=True,
+    )
+    run_training(cfg, run_root=str(work / "runs"))
+    return work
+
+
+def run_cli(script, *args, timeout=400):
+    return subprocess.run(
+        [sys.executable, str(REPO / "scripts" / script), *args],
+        capture_output=True, text=True, timeout=timeout,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO)},
+    )
+
+
+class TestIntrinsicSuites:
+    def test_calibration_metrics(self, tiny_run):
+        proc = run_cli(
+            "calibration_metrics.py", "bench-run", "--npz", str(tiny_run / "val.npz"),
+            "--run_root", str(tiny_run / "runs"), "--max_batches", "2",
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "calibration.json").read_text()
+        )
+        assert 0.0 <= report["ece"] <= 1.0
+        assert report["tokens"] > 0
+
+    def test_context_diagnostics(self, tiny_run):
+        proc = run_cli(
+            "diagnose_context_learning.py", "bench-run",
+            "--npz", str(tiny_run / "val.npz"),
+            "--windows", "1,2", "--position_buckets", "0,8",
+            "--run_root", str(tiny_run / "runs"), "--max_batches", "2",
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "context_diagnostics.json").read_text()
+        )
+        assert "window_ablation" in report and "full" in report["window_ablation"]
+
+    def test_epoch_sweep(self, tiny_run):
+        proc = run_cli(
+            "eval_epoch_sweep.py", "bench-run", "--npz", str(tiny_run / "val.npz"),
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        rows = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "epoch_sweep.json").read_text()
+        )
+        assert len(rows) == 2  # save_epochs wrote epoch_1 and epoch_2
+
+    def test_sanity_kpis(self, tiny_run):
+        proc = run_cli(
+            "sanity_kpis.py", "bench-run", "--val_npz", str(tiny_run / "val.npz"),
+            "--run_root", str(tiny_run / "runs"),
+        )
+        # undertrained models may not beat uniform; the report must exist
+        report = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "sanity_kpis.json").read_text()
+        )
+        assert report["checks"]["checkpoint_loads"] is True
+        assert report["checks"]["embeddings_finite"] is True
+
+
+class TestDownstreamSuites:
+    def test_structural_regression(self, tiny_run):
+        proc = run_cli(
+            "probe_structural_regression.py", "bench-run",
+            "--n_sequences", "12", "--seq_len_codons", "10",
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "structural_regression.json").read_text()
+        )
+        assert set(report) == {"MGW", "Roll", "EP", "avg"}
+
+    def test_gene_essentiality(self, tiny_run, tmp_path):
+        rng = np.random.default_rng(0)
+        csv_path = tmp_path / "genes.csv"
+        with csv_path.open("w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["id", "sequence", "essential"])
+            for i in range(30):
+                seq = "ATG" + "".join(rng.choice(["AAA", "CCC", "GGG"], 6)) + "TAA"
+                writer.writerow([f"g{i}", seq, i % 2])
+        proc = run_cli(
+            "benchmark_gene_essentiality.py", "bench-run",
+            "--genes_csv", str(csv_path), "--folds", "3",
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "essentiality_benchmark.json").read_text()
+        )
+        assert 0.0 <= report["f1_mean"] <= 1.0
+
+    def test_zero_shot_dms(self, tiny_run, tmp_path):
+        rng = np.random.default_rng(0)
+        dms = tmp_path / "dms.csv"
+        codons = ["AAA", "CCC", "GGG", "TTC", "GAT"]
+        with dms.open("w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["position", "mutant_codon", "fitness"])
+            for pos in range(1, 6):
+                for codon in codons:
+                    writer.writerow([pos, codon, float(rng.normal())])
+        proc = run_cli(
+            "benchmark_zero_shot_mutations.py", "bench-run",
+            "--dna", "ATGAAACCCGGGTTTGATTAA", "--dms_csv", str(dms),
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "dms_benchmark.json").read_text()
+        )
+        assert report["n_variants"] == 25
+
+
+class TestGenerationSuites:
+    def test_eval_generation_prefix(self, tiny_run):
+        proc = run_cli(
+            "eval_generation_prefix.py", "bench-run",
+            "--npz", str(tiny_run / "val.npz"), "--preset", "quick",
+            "--prefix_codons", "3",
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        payload = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "generation_prefix.json").read_text()
+        )
+        assert payload["summary"]["n"] == 8
+
+    def test_benchmark_red(self, tiny_run):
+        proc = run_cli(
+            "benchmark_red.py", "bench-run", "--n_prefixes", "3",
+            "--target_codons", "4", "--hard_cap", "8", "--max_attempts", "2",
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads(
+            (tiny_run / "runs" / "bench-run" / "scores" / "benchmark_red.json").read_text()
+        )
+        assert report["red"]["terminal_stop_rate"] >= report["single_attempt"]["terminal_stop_rate"] - 1e-9
+
+    def test_build_replay_and_train_with_it(self, tiny_run):
+        out = tiny_run / "replay.jsonl"
+        proc = run_cli(
+            "build_generated_prefix_replay.py", "bench-run",
+            "--npz", str(tiny_run / "val.npz"), "--out", str(out),
+            "--n_samples", "6", "--prefix_codons", "2",
+            "--target_codons", "4", "--hard_cap", "8",
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        assert out.exists() and out.read_text().strip()
+        from genomics_lm_tpu.data.replay import GeneratedTerminationReplayDataset
+
+        ds = GeneratedTerminationReplayDataset(out, block_size=24)
+        x, y = ds[0]
+        assert (y != -100).any()
+
+
+class TestDatasetPrep:
+    def test_prepare_ec_dataset(self, tmp_path):
+        rng = np.random.default_rng(0)
+        src = tmp_path / "ec.csv"
+        with src.open("w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["id", "sequence", "ec", "genome"])
+            for i in range(40):
+                seq = "ATG" + "".join(rng.choice(["AAA", "CCC"], 5)) + "TAA"
+                writer.writerow([f"s{i}", seq, f"{1 + i % 2}.1.1.1", f"g{i % 8}"])
+        proc = run_cli(
+            "prepare_ec_dataset.py", "--input", str(src),
+            "--out_dir", str(tmp_path / "ec_out"),
+            "--group_column", "genome", "--min_class_count", "2",
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads((tmp_path / "ec_out" / "dataset_report.json").read_text())
+        assert report["n_classes"] == 2
+        assert (tmp_path / "ec_out" / "train_labels.csv").exists()
+
+    def test_prepare_amr_dataset(self, tmp_path):
+        rng = np.random.default_rng(0)
+        src = tmp_path / "amr.tsv"
+        with src.open("w", newline="") as f:
+            writer = csv.writer(f, delimiter="\t")
+            writer.writerow(["sequence", "amr_family"])
+            for i in range(40):
+                seq = "ATG" + "".join(rng.choice(["AAA", "CCC"], 5)) + "TAA"
+                writer.writerow([seq, f"fam{i % 2}"])
+        proc = run_cli(
+            "prepare_amr_dataset.py", "--input", str(src),
+            "--out_dir", str(tmp_path / "amr_out"), "--min_class_count", "5",
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads((tmp_path / "amr_out" / "dataset_report.json").read_text())
+        assert report["n_classes"] == 2
+
+
+class TestConferenceFigures:
+    def test_umap_and_attention_figures(self, tiny_run, tmp_path):
+        seqs = tmp_path / "seqs.csv"
+        with seqs.open("w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["sequence", "label"])
+            for i in range(8):
+                writer.writerow(["ATGAAACCCTAA", f"c{i % 2}"])
+        proc = run_cli(
+            "conference_umap.py", "bench-run", "--sequences_csv", str(seqs),
+            "--out_dir", str(tmp_path / "figs"),
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        proc = run_cli(
+            "conference_attention.py", "bench-run", "--dna", "ATGAAACCC",
+            "--out_dir", str(tmp_path / "figs"),
+            "--run_root", str(tiny_run / "runs"),
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        figs = list((tmp_path / "figs").glob("*.png"))
+        assert len(figs) == 2
