@@ -236,12 +236,20 @@ class CachedDecoder:
         return np.asarray(logits[0])
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _full_forward(params, cfg: CodonGPTConfig, x):
+    logits, _, aux = codon_gpt.forward(params, cfg, x, None, return_aux=True)
+    return logits, aux
+
+
 def next_token_logits(params, cfg: CodonGPTConfig, ids, return_aux: bool = False):
     """Uncached reference path: full forward over the clipped context
-    (parity: ``generate.py:13-27``)."""
+    (parity: ``generate.py:13-27``). Jitted — once the context saturates
+    ``block_size`` the clipped shape is constant, so this compiles once and
+    keeps the clip-and-recompute fallback fast instead of op-by-op eager."""
     ctx = list(ids)[-cfg.block_size :]
     x = jnp.asarray([ctx], jnp.int32)
-    logits, _, aux = codon_gpt.forward(params, cfg, x, None, return_aux=True)
+    logits, aux = _full_forward(params, cfg, x)
     flat_aux = {}
     if "termination_logits" in aux:
         flat_aux["termination_logits"] = np.asarray(aux["termination_logits"][0, -1])
