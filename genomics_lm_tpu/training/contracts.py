@@ -193,12 +193,20 @@ def validate_primary_training_config(cfg: Mapping[str, Any]) -> dict[str, Any]:
 
 
 def load_and_validate_primary_training_config(path: str | Path) -> dict[str, Any]:
-    import yaml
+    import json
 
     config_path = Path(path)
-    cfg = yaml.safe_load(config_path.read_text()) or {}
+    text = config_path.read_text()
+    if config_path.suffix == ".json":
+        # not yaml.safe_load: YAML 1.1 reads JSON floats like 3e-05 (no dot
+        # before the exponent) as strings, which breaks frozen-value checks
+        cfg = json.loads(text) or {}
+    else:
+        import yaml
+
+        cfg = yaml.safe_load(text) or {}
     if not isinstance(cfg, dict):
-        raise ValueError(f"training config must contain a YAML mapping: {config_path}")
+        raise ValueError(f"training config must contain a mapping: {config_path}")
     return validate_primary_training_config(cfg)
 
 
