@@ -222,3 +222,36 @@ class TestAggregation:
         md = generate_summary(tmp_path / "runs")
         assert md.exists()
         assert (tmp_path / "runs" / "_summary" / "summary.csv").exists()
+
+
+class TestTerminationMotifs:
+    def test_synthetic_hairpin_scores_high(self):
+        from genomics_lm_tpu.evals.termination_motifs import (
+            hairpin_score,
+            max_poly_t_run,
+            synthetic_hairpin,
+        )
+
+        motif = synthetic_hairpin()
+        assert hairpin_score(motif) >= 15.0
+        assert max_poly_t_run(motif) >= 6
+        # an A-only sequence has no stem at all
+        assert hairpin_score("A" * 24) == 0.0
+
+    def test_terminal_window_contrast_detects_planted_terminator(self):
+        import numpy as np
+
+        from genomics_lm_tpu.evals.termination_motifs import (
+            synthetic_hairpin,
+            terminal_window_contrast,
+        )
+
+        rng = np.random.default_rng(0)
+        seqs = []
+        for _ in range(8):
+            body = "".join(rng.choice(list("ACGT"), 90))
+            seqs.append(body + synthetic_hairpin())
+        report = terminal_window_contrast(seqs, window=25, seed=0)
+        assert report["sequences_scored"] == 8
+        assert report["hairpin_contrast"] > 0
+        assert report["poly_t_contrast"] > 0
