@@ -69,6 +69,7 @@ from genomics_lm_tpu.training.runtime import (
     PeriodicCheckpointPolicy,
     WallTimeLimitException,
     WallTimer,
+    atomic_write,
     device_memory_stats,
 )
 from genomics_lm_tpu.training.train_step import (
@@ -83,6 +84,55 @@ LAST = "last.npz"
 
 class NonfiniteGroupLimitError(RuntimeError):
     """Raised when aborted accumulation groups exceed the configured limit."""
+
+
+# substrings identifying device-memory exhaustion in XLA/JAX error text
+# (parity: reference loop.py:1501-1549 OOM safeguard, MPS patterns → XLA)
+OOM_PATTERNS = (
+    "RESOURCE_EXHAUSTED",
+    "Out of memory",
+    "out of memory",
+    "OOM",
+    "Attempting to allocate",
+)
+
+
+def _is_oom_error(exc: BaseException) -> bool:
+    text = f"{type(exc).__name__}: {exc}"
+    return any(pattern in text for pattern in OOM_PATTERNS)
+
+
+def _apply_oom_downscale(config_path: str | None, cfg: dict,
+                         contract_bound: bool) -> dict | None:
+    """Halve batch_size / double grad_accum in the YAML config so the next
+    launch fits (parity: reference loop.py:1516-1549). Refuses to touch
+    contract-immutable configs; returns the rewrite summary or None."""
+    batch_size = int(cfg.get("batch_size", 1))
+    if contract_bound:
+        print("[oom] primary contract is immutable — not rewriting the config",
+              file=sys.stderr)
+        return None
+    if batch_size <= 1:
+        print("[oom] batch_size already 1 — cannot downscale further",
+              file=sys.stderr)
+        return None
+    new_batch = max(1, batch_size // 2)
+    new_accum = int(cfg.get("grad_accum_steps", 1)) * 2
+    summary = {"batch_size": new_batch, "grad_accum_steps": new_accum}
+    if config_path and Path(config_path).exists():
+        import yaml
+
+        path = Path(config_path)
+        doc = yaml.safe_load(path.read_text()) or {}
+        doc.update(summary)
+        text = yaml.safe_dump(doc, sort_keys=False)
+        atomic_write(path, lambda tmp: tmp.write_text(text))
+        print(f"[oom] rewrote {path}: batch_size {batch_size}->{new_batch}, "
+              f"grad_accum x2 -> {new_accum}", file=sys.stderr)
+    else:
+        print(f"[oom] retry with batch_size={new_batch} "
+              f"grad_accum_steps={new_accum}", file=sys.stderr)
+    return summary
 
 
 class AccumulationHealth:
@@ -731,9 +781,20 @@ def run_training(
         status = "failed"
         failure = exc
     except Exception as exc:
-        status = "failed"
-        failure = exc
-        print(f"[error] training failed: {exc}", file=sys.stderr)
+        if _is_oom_error(exc):
+            print("\n[oom] device memory exhausted", file=sys.stderr)
+            try:
+                save_last(current_epoch_idx or (start_epoch + 1), reason="oom")
+            except Exception as save_exc:  # the ckpt itself may not fit
+                print(f"[oom] checkpoint save failed: {save_exc}", file=sys.stderr)
+            _apply_oom_downscale(config_path, cfg,
+                                 contract_bound=primary_contract is not None)
+            status = "stopped"
+            failure = exc
+        else:
+            status = "failed"
+            failure = exc
+            print(f"[error] training failed: {exc}", file=sys.stderr)
 
     total_time = time.perf_counter() - train_wall0
     meta = {
@@ -774,7 +835,9 @@ def run_training(
         })
     training_run.close()
     print(f"[timing] train_wall_sec={total_time:.2f}")
-    if failure is not None:
+    if failure is not None and status == "failed":
+        # OOM ends as status "stopped" (checkpoint saved, config downscaled)
+        # and returns meta like a wall-time stop instead of re-raising
         raise failure
     return meta
 

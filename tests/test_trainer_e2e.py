@@ -211,3 +211,41 @@ class TestCheckpointStore:
         assert meta["step"] == 7
         arr = ckpt_lib.checkpoint_array(path, "model/w")
         np.testing.assert_array_equal(arr, payload["model"]["w"])
+
+
+class TestOOMSafeguard:
+    def test_oom_downscales_config_and_stops(self, tmp_path, monkeypatch):
+        import yaml
+
+        from genomics_lm_tpu.training import loop as loop_mod
+
+        make_fixture(tmp_path)
+        cfg = base_cfg(tmp_path, run_id="oom-run")
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+
+        real_make = loop_mod.make_train_step
+
+        def exploding_make(*args, **kwargs):
+            step = real_make(*args, **kwargs)
+
+            def boom(*a, **k):
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Out of memory allocating 99999999 bytes"
+                )
+
+            return boom
+
+        monkeypatch.setattr(loop_mod, "make_train_step", exploding_make)
+        meta = run_training(cfg, config_path=str(cfg_path),
+                            run_root=str(tmp_path / "runs"))
+        assert meta["status"] == "stopped"
+        rewritten = yaml.safe_load(cfg_path.read_text())
+        assert rewritten["batch_size"] == cfg["batch_size"] // 2
+        assert rewritten["grad_accum_steps"] == cfg["grad_accum_steps"] * 2
+
+    def test_oom_patterns(self):
+        from genomics_lm_tpu.training.loop import _is_oom_error
+
+        assert _is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: while running"))
+        assert not _is_oom_error(ValueError("shape mismatch"))
