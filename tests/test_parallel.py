@@ -1,0 +1,141 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY §4: "CPU jax with xla_force_host_platform_device_count=N to
+unit-test pjit/psum logic on fake multi-device meshes")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from genomics_lm_tpu.models.config import CodonGPTConfig
+from genomics_lm_tpu.models import codon_gpt
+from genomics_lm_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from genomics_lm_tpu.parallel.sharding import (
+    batch_sharding,
+    replicated,
+    zero1_opt_state_sharding,
+)
+from genomics_lm_tpu.training.train_step import LossConfig, make_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(vocab_size=68, block_size=16, n_layer=1, n_head=2,
+                n_embd=16, dropout=0.0)
+    base.update(kw)
+    return CodonGPTConfig(**base)
+
+
+class TestMeshConstruction:
+    def test_default_data_axis(self):
+        mesh = make_mesh()
+        assert mesh.axis_names == (DATA_AXIS,)
+        assert mesh.shape[DATA_AXIS] == jax.device_count()
+
+    def test_2d_mesh_with_wildcard(self):
+        mesh = make_mesh(axes={"data": -1, "model": 2})
+        assert mesh.shape["model"] == 2
+        assert mesh.shape["data"] * 2 == jax.device_count()
+
+    def test_bad_axes_rejected(self):
+        with pytest.raises(ValueError):
+            make_mesh(axes={"data": 3})  # 3 does not divide 8
+
+
+class TestDataParallelStep:
+    def test_sharded_step_matches_single_device(self):
+        assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+        cfg = tiny_cfg()
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(params)
+        step = make_train_step(cfg, LossConfig(), tx)
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": jnp.asarray(rng.integers(4, 68, (1, 8, 16)), jnp.int32),
+            "y": jnp.asarray(rng.integers(4, 68, (1, 8, 16)), jnp.int32),
+        }
+        key = jax.random.key(1)
+        one = jnp.asarray(1.0)
+
+        # single-device reference
+        p_ref, _, m_ref = step(params, opt_state, batch, key, one)
+
+        # sharded: batch split over the data axis, params replicated
+        mesh = make_mesh()
+        rep = replicated(mesh)
+        shard_b = NamedSharding(mesh, P(None, DATA_AXIS))
+        params_s = jax.device_put(params, rep)
+        opt_s = jax.device_put(opt_state, rep)
+        batch_s = {k: jax.device_put(v, shard_b) for k, v in batch.items()}
+        p_sh, _, m_sh = step(params_s, opt_s, batch_s, key, one)
+
+        np.testing.assert_allclose(
+            float(m_ref["total_loss_sum"]), float(m_sh["total_loss_sum"]),
+            rtol=1e-5,
+        )
+        # AdamW's first step divides by sqrt(v)+eps with v~grad^2, which
+        # amplifies cross-shard f32 reduction-order noise — bound absolutely
+        for ref_leaf, sh_leaf in zip(jax.tree.leaves(p_ref),
+                                     jax.tree.leaves(p_sh)):
+            np.testing.assert_allclose(np.asarray(ref_leaf),
+                                       np.asarray(sh_leaf), atol=2e-4)
+
+    def test_batch_sharding_spec(self):
+        mesh = make_mesh()
+        sharding = batch_sharding(mesh)
+        assert sharding.spec == P(DATA_AXIS)
+
+
+class TestZero1:
+    def test_moments_sharded_where_divisible(self):
+        mesh = make_mesh()
+        cfg = tiny_cfg()
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(params)
+        shardings = zero1_opt_state_sharding(opt_state, mesh)
+
+        flat_state = jax.tree.leaves(opt_state)
+        flat_shard = jax.tree.leaves(
+            shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+        )
+        assert len(flat_state) == len(flat_shard)
+        sharded = 0
+        for leaf, sharding in zip(flat_state, flat_shard):
+            shape = getattr(leaf, "shape", ())
+            if any(s % 8 == 0 and s > 0 for s in shape):
+                assert sharding.spec != P(), f"{shape} should be sharded"
+                sharded += 1
+            elif not shape:
+                assert sharding.spec == P()
+        assert sharded > 0
+
+        # placing the state under these shardings must keep values intact
+        placed = jax.device_put(opt_state, shardings)
+        for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(placed)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPsumSemantics:
+    def test_shard_map_psum_grad_matches_global(self):
+        from jax.experimental.shard_map import shard_map
+
+        mesh = make_mesh()
+        w = jnp.ones((4,), jnp.float32) * 0.5
+        x = jnp.arange(16, dtype=jnp.float32).reshape(8, 2).repeat(2, -1)
+
+        def local_loss(w, x_shard):
+            per = ((x_shard @ w[:, None]) ** 2).sum()
+            return jax.lax.psum(per, DATA_AXIS)
+
+        grad_fn = shard_map(
+            jax.grad(local_loss), mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None)), out_specs=P(),
+        )
+        g_sharded = grad_fn(w, x)
+        g_global = jax.grad(lambda w: ((x @ w[:, None]) ** 2).sum())(w)
+        np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_global),
+                                   rtol=1e-6)
