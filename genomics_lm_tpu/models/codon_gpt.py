@@ -170,6 +170,24 @@ def apply_rope(q, k, cos, sin):
 def _qkv(block_p, x, cfg: CodonGPTConfig):
     B, T, _ = x.shape
     hd = cfg.head_dim
+    if cfg.fused_qkv:
+        # one (C, Cq+2*Ckv) gemm; the concat is loop-invariant weight prep,
+        # trivially cheap next to the matmul itself
+        attn = block_p["attn"]
+        w = jnp.concatenate(
+            [attn["query"]["w"], attn["key"]["w"], attn["value"]["w"]], axis=1
+        )
+        b = jnp.concatenate(
+            [attn["query"]["b"], attn["key"]["b"], attn["value"]["b"]], axis=0
+        )
+        qkv = x @ w.astype(x.dtype) + b.astype(x.dtype)
+        c_q = cfg.n_head * hd
+        c_kv = cfg.kv_heads * hd
+        q, k, v = jnp.split(qkv, [c_q, c_q + c_kv], axis=-1)
+        q = q.reshape(B, T, cfg.n_head, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+        return q, k, v
     q = _linear(block_p["attn"]["query"], x).reshape(B, T, cfg.n_head, hd).transpose(0, 2, 1, 3)
     k = _linear(block_p["attn"]["key"], x).reshape(B, T, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
     v = _linear(block_p["attn"]["value"], x).reshape(B, T, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
@@ -203,6 +221,8 @@ def _block_apply(
         dropout_rate=drop_rate,
         dropout_rng=attn_rng,
         impl=cfg.attention_impl,
+        block_q=cfg.flash_block_q,
+        block_k=cfg.flash_block_k,
     )
     y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
     x = x + _linear(block_p["attn"]["proj"], y)
@@ -262,7 +282,7 @@ def _run_blocks(params, cfg: CodonGPTConfig, x, *, segment_ids, attention_window
         if use_dropout
         else params["blocks"]
     )
-    x, _ = jax.lax.scan(body, x, xs)
+    x, _ = jax.lax.scan(body, x, xs, unroll=max(1, cfg.scan_unroll))
     return x
 
 

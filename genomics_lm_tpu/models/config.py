@@ -40,6 +40,10 @@ class CodonGPTConfig:
     use_checkpoint: bool = False  # remat each block (reference grad-ckpt)
     attention_impl: str = "xla"  # "xla" | "flash"
     compute_dtype: str = "float32"  # "bfloat16" for AMP-style training
+    fused_qkv: bool = False  # one (C, C+2*Ckv) matmul instead of 3 gemms
+    scan_unroll: int = 1  # lax.scan unroll factor over layers
+    flash_block_q: int = 128  # Pallas flash-attention tile sizes
+    flash_block_k: int = 128
 
     def __post_init__(self):
         if self.n_embd % self.n_head != 0:
@@ -131,6 +135,10 @@ class CodonGPTConfig:
             use_checkpoint=bool(cfg.get("use_checkpoint", False)),
             attention_impl=str(cfg.get("attention_impl", "xla")),
             compute_dtype=str(cfg.get("compute_dtype", "float32")),
+            fused_qkv=bool(cfg.get("fused_qkv", False)),
+            scan_unroll=int(cfg.get("scan_unroll", 1)),
+            flash_block_q=int(cfg.get("flash_block_q", 128)),
+            flash_block_k=int(cfg.get("flash_block_k", 128)),
         )
         if kwargs["sep_id"] is not None:
             kwargs["sep_id"] = int(kwargs["sep_id"])

@@ -82,6 +82,8 @@ def attention(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     impl: str = "xla",
+    block_q: int = 128,
+    block_k: int = 128,
 ) -> jnp.ndarray:
     """Dispatch between the XLA reference path and the Pallas flash kernel.
 
@@ -98,6 +100,8 @@ def attention(
             attention_window=attention_window,
             dropout_rate=dropout_rate,
             dropout_rng=dropout_rng,
+            block_q=block_q,
+            block_k=block_k,
         )
     if impl != "xla":
         raise ValueError(f"Unknown attention impl: {impl!r}")
