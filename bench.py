@@ -48,12 +48,17 @@ def main() -> None:
         attention_impl="flash" if on_tpu else "xla",
         compute_dtype="bfloat16" if on_tpu else "float32",
         use_checkpoint=False,
+        # tuned on-chip (docs/BENCHMARKS.md sweep): full-sequence flash
+        # tiles kill the q/k grid overhead (+32%), fused QKV one gemm (+1%)
+        fused_qkv=True,
+        flash_block_q=512,
+        flash_block_k=512,
     )
     # Effective batch 128 windows per optimizer step (= reference protocol).
-    # 4 microbatches of 32 inside one compiled group step: B=128 in a single
-    # microbatch needs ~24 GB of live activations (v5e HBM is 16 GB), and
-    # rematerialization costs more than the 4-way scan split.
-    G, B, T = 4, 32, 512
+    # Swept splits G x B in {2x64, 4x32, 8x16, 16x8, 32x4}: 16 microbatches
+    # of 8 windows is the measured optimum (smaller live activations →
+    # better HBM locality; B=128 single-shot needs ~24 GB and OOMs).
+    G, B, T = 16, 8, 512
 
     rng = np.random.default_rng(1337)
     params = codon_gpt.init(jax.random.PRNGKey(1337), cfg)

@@ -105,6 +105,11 @@ ALLOWED_KEYS = frozenset(
         "max_time_minutes",
         "mesh_devices",
         "shard_optimizer_state",
+        # free TPU execution keys (performance-only, no semantics change)
+        "fused_qkv",
+        "flash_block_q",
+        "flash_block_k",
+        "scan_unroll",
         *COMMON_VALUES,
     }
 )
