@@ -80,3 +80,44 @@ def test_model_forward_with_flash_impl():
     gf = jax.grad(lfn)(params, cfg_f)
     for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestLargeTiles:
+    """512-tile configs (the tuned bench setting) must match XLA exactly."""
+
+    def test_full_sequence_tiles_match_xla(self):
+        import numpy as np
+
+        from genomics_lm_tpu.ops.attention import attention
+        from genomics_lm_tpu.ops.flash_attention import flash_attention
+
+        rng = np.random.default_rng(0)
+        B, H, T, D = 2, 2, 256, 48
+        q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+        seg = jnp.asarray(np.cumsum(rng.random((B, T)) < 0.02, axis=1),
+                          jnp.int32)
+        ref = attention(q, k, v, segment_ids=seg, impl="xla")
+        for bq, bk in [(256, 256), (512, 512), (512, 256)]:
+            out = flash_attention(q, k, v, segment_ids=seg, block_q=bq,
+                                  block_k=bk, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=5e-6)
+
+    def test_fused_qkv_logits_exact(self):
+        import numpy as np
+
+        from genomics_lm_tpu.models import codon_gpt
+        from genomics_lm_tpu.models.config import CodonGPTConfig
+
+        cfg = CodonGPTConfig(vocab_size=68, block_size=32, n_layer=2,
+                             n_head=4, n_embd=64, dropout=0.0)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        x = jnp.asarray(
+            np.random.default_rng(0).integers(4, 68, (2, 32)), jnp.int32
+        )
+        base = codon_gpt.forward(params, cfg, x)[0]
+        fused = codon_gpt.forward(params, cfg.replace(fused_qkv=True), x)[0]
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   atol=1e-5)
