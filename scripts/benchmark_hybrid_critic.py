@@ -93,10 +93,10 @@ def main(argv=None) -> int:
                 )
             codons = [itos[t] for t in out_ids[len(ctx):]
                       if len(itos[t]) == 3 and "<" not in itos[t]]
-            protein = translate_codons_to_aa(codons).rstrip("*")
+            protein = translate_codons_to_aa(codons).rstrip("_*")
             lengths.append(len(codons))
             orf_ok.append(bool(codons) and codons[-1] in STOP_CODONS
-                          and "*" not in protein)
+                          and not any(c in STOP_CODONS for c in codons[:-1]))
             if protein:
                 scores.append(float(np.asarray(score_fn([protein]))[0]))
                 if ebm_params is not None:

@@ -39,11 +39,12 @@ def main(argv=None) -> int:
         for aa, codons in AA_TO_CODONS.items()
         for codon in codons
     }
+    stop_codons = {c for c, aa in CODON_TABLE.items() if aa in ("_", "*")}
     rows = []
     for idx, tok in enumerate(itos):
         is_codon = len(tok) == 3 and "<" not in tok
         aa = CODON_TABLE.get(tok, "") if is_codon else ""
-        if aa == "*":
+        if tok in stop_codons:
             aa_class = "stop"
         elif aa in HYDROPHOBIC:
             aa_class = "hydrophobic"
@@ -61,7 +62,7 @@ def main(argv=None) -> int:
             "aa_class": aa_class,
             "gc_content": (sum(c in "GC" for c in tok) / 3 if is_codon else ""),
             "is_start": int(tok == "ATG"),
-            "is_stop": int(aa == "*"),
+            "is_stop": int(tok in stop_codons),
             "degeneracy": degeneracy.get(tok, ""),
             "wobble_base": tok[2] if is_codon else "",
         })

@@ -53,15 +53,20 @@ def main(argv=None) -> int:
                              target_task=args.target_task,
                              target_class_idx=args.target_class)
 
+    stop_codons = {"TAA", "TAG", "TGA"}
     rows = []
     with open(args.dna_csv) as f:
         for i, record in enumerate(csv.DictReader(f)):
             dna = record.get("dna") or record.get("sequence")
             if not dna:
                 continue
+            dna_u = dna.upper().replace("U", "T")
+            codons = [dna_u[j : j + 3]
+                      for j in range(0, (len(dna_u) // 3) * 3, 3)]
+            internal_stop = any(c in stop_codons for c in codons[:-1])
             try:
-                protein = translate_cds(dna).rstrip("*")
-                translation_ok = "*" not in protein and bool(protein)
+                protein = translate_cds(dna).rstrip("*_X")
+                translation_ok = bool(protein) and not internal_stop
             except Exception:
                 protein, translation_ok = "", False
             rows.append({

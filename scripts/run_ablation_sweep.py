@@ -107,7 +107,7 @@ def main(argv=None) -> int:
             codon_rows.append([itos[t] for t in out_ids[len(ctx):]
                                if len(itos[t]) == 3 and "<" not in itos[t]])
         wall = time.time() - t0
-        aa = [translate_codons_to_aa(c).rstrip("*") for c in codon_rows]
+        aa = [translate_codons_to_aa(c).rstrip("_*") for c in codon_rows]
         results.append({
             **config,
             "terminal_stop_rate": float(np.mean(stops)) if stops else None,

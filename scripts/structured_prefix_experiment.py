@@ -90,7 +90,7 @@ def main(argv=None) -> int:
             dna = prefix + "".join(codons)
             protein = translate_codons_to_aa(
                 [prefix[i : i + 3] for i in range(0, len(prefix), 3)] + codons
-            ).rstrip("*")
+            ).rstrip("_*")
             row = {
                 "prefix": name,
                 "sample": sample,
