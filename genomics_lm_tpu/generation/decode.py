@@ -144,11 +144,14 @@ def decode_step(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarray):
         q, k, v = _qkv(block_p, h, cfg)  # (B, H, 1, D), (B, Hkv, 1, D)
         if cfg.use_rope:
             q, k = apply_rope(q, k, cos, sin)
-        new_k = new_k.at[layer, :, :, :, :].set(
-            jax.lax.dynamic_update_slice_in_dim(new_k[layer], k, length, axis=2)
+        # single dynamic-update-slice on the stacked cache: XLA can alias
+        # this in place; the previous at[layer].set(dus(new_k[layer], ...))
+        # chain forced full-cache copies per layer (~6 ms/step at d384 b64)
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k[None].astype(new_k.dtype), (layer, 0, 0, length, 0)
         )
-        new_v = new_v.at[layer, :, :, :, :].set(
-            jax.lax.dynamic_update_slice_in_dim(new_v[layer], v, length, axis=2)
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v[None].astype(new_v.dtype), (layer, 0, 0, length, 0)
         )
         k_all = new_k[layer]  # (B, Hkv, S, D)
         v_all = new_v[layer]
@@ -192,6 +195,43 @@ def decode_step(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarray):
         "seg_count": new_seg,
     }
     return logits, new_cache, aux
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 5))
+def generate_tokens(
+    params,
+    cfg: CodonGPTConfig,
+    prompt: jnp.ndarray,
+    n_tokens: int,
+    key: jax.Array,
+    temperature: float = 1.0,
+):
+    """Whole-generation-in-one-program batched sampling.
+
+    ``prompt``: (B, P) int32. Runs ``prefill`` then a ``lax.scan`` over
+    ``n_tokens`` decode steps with on-device categorical (or greedy when
+    ``temperature <= 0``) sampling — ONE device dispatch for the entire
+    generation instead of one per token, which matters both for serving
+    (launch overhead) and on relayed runtimes (per-dispatch round trips).
+    Returns (B, n_tokens) sampled token ids.
+    """
+    logits, cache, _ = prefill(params, cfg, prompt)
+
+    def body(carry, key):
+        logits, cache = carry
+        if temperature <= 0:
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            token = jax.random.categorical(
+                key, logits.astype(jnp.float32) / temperature, axis=-1
+            ).astype(jnp.int32)
+        logits, cache, _ = decode_step(params, cfg, cache, token)
+        return (logits, cache), token
+
+    (_, _), tokens = jax.lax.scan(
+        body, (logits, cache), jax.random.split(key, n_tokens)
+    )
+    return tokens.T  # (B, n_tokens)
 
 
 class CachedDecoder:

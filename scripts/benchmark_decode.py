@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Serving-side decode throughput: batched KV-cache autoregressive
+generation (prefill + jitted per-token steps with greedy/temperature
+sampling on device). Complements bench.py's training number."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys as _sys
+import time
+from pathlib import Path
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+from scripts._shared import REPO_ROOT  # noqa: F401, E402
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_layer", type=int, default=10)
+    ap.add_argument("--n_head", type=int, default=8)
+    ap.add_argument("--n_embd", type=int, default=384)
+    ap.add_argument("--block_size", type=int, default=512)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--prefill_len", type=int, default=64)
+    ap.add_argument("--decode_tokens", type=int, default=128)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--measure_rounds", type=int, default=3)
+    ap.add_argument("--mode", choices=["stepwise", "scan"], default="scan",
+                    help="scan = whole generation compiled into one program")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genomics_lm_tpu.generation.decode import decode_step, prefill
+    from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = CodonGPTConfig(
+        vocab_size=68, block_size=args.block_size, n_layer=args.n_layer,
+        n_head=args.n_head, n_embd=args.n_embd, dropout=0.0, sep_id=3,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        fused_qkv=on_tpu,
+    )
+    params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, P = args.batch_size, args.prefill_len
+    prompt = jnp.asarray(rng.integers(4, 68, (B, P)), jnp.int32)
+
+    @jax.jit
+    def sample(logits, key):
+        if args.temperature <= 0:
+            return jnp.argmax(logits, -1).astype(jnp.int32)
+        return jax.random.categorical(
+            key, logits.astype(jnp.float32) / args.temperature, axis=-1
+        ).astype(jnp.int32)
+
+    if args.mode == "scan":
+        from genomics_lm_tpu.generation.decode import generate_tokens
+
+        def run_once(key):
+            return generate_tokens(params, cfg, prompt, args.decode_tokens,
+                                   key, args.temperature)
+    else:
+        def run_once(key):
+            logits, cache, _ = prefill(params, cfg, prompt)
+            for _ in range(args.decode_tokens):
+                key, sub = jax.random.split(key)
+                token = sample(logits, sub)
+                logits, cache, _ = decode_step(params, cfg, cache, token)
+            return logits
+
+    # compile + warm
+    out = run_once(jax.random.PRNGKey(1))
+    float(jnp.sum(out).astype(jnp.float32))  # hard sync
+
+    t0 = time.perf_counter()
+    for round_idx in range(args.measure_rounds):
+        out = run_once(jax.random.PRNGKey(2 + round_idx))
+    float(jnp.sum(out).astype(jnp.float32))
+    elapsed = time.perf_counter() - t0
+
+    generated = B * args.decode_tokens * args.measure_rounds
+    report = {
+        "metric": "decode_codon_tokens_per_sec_per_chip",
+        "value": round(generated / elapsed, 1),
+        "unit": "tokens/sec",
+        "batch_size": B,
+        "prefill_len": P,
+        "decode_tokens": args.decode_tokens,
+        "ms_per_decode_step": round(
+            elapsed / (args.decode_tokens * args.measure_rounds) * 1000, 3
+        ),
+        "mode": args.mode,
+        "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd}",
+    }
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -167,3 +167,34 @@ def test_genetic_code_table():
     assert CODON_TABLE["TAA"] == "_"
     assert len(CODON_TABLE) == 64
     assert translate_codons_to_aa(["ATG", "AAA", "NNN"]) == "MKX"
+
+
+class TestScanGeneration:
+    def test_generate_tokens_matches_stepwise_greedy(self):
+        import numpy as np
+
+        from genomics_lm_tpu.generation.decode import (
+            decode_step,
+            generate_tokens,
+            prefill,
+        )
+        from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+
+        import jax.numpy as jnp
+
+        cfg = CodonGPTConfig(vocab_size=68, block_size=64, n_layer=2,
+                             n_head=4, n_embd=64, dropout=0.0, sep_id=3)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        prompt = jnp.asarray(
+            np.random.default_rng(0).integers(4, 68, (3, 10)), jnp.int32
+        )
+        scan_tokens = np.asarray(
+            generate_tokens(params, cfg, prompt, 12, jax.random.key(1), 0.0)
+        )
+        logits, cache, _ = prefill(params, cfg, prompt)
+        manual = []
+        for _ in range(12):
+            token = jnp.argmax(logits, -1).astype(jnp.int32)
+            manual.append(np.asarray(token))
+            logits, cache, _ = decode_step(params, cfg, cache, token)
+        np.testing.assert_array_equal(scan_tokens, np.stack(manual, axis=1))
