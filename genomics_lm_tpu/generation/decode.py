@@ -234,6 +234,45 @@ def generate_tokens(
     return tokens.T  # (B, n_tokens)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 3, 5))
+def generate_masked_tokens(
+    params,
+    cfg: CodonGPTConfig,
+    prompt: jnp.ndarray,
+    n_tokens: int,
+    key: jax.Array,
+    temperature: float,
+    allowed_mask: jnp.ndarray,
+):
+    """``generate_tokens`` with a static vocabulary mask applied on device.
+
+    ``allowed_mask``: (V,) bool — e.g. the CDS codon set. Sampling is
+    restricted to allowed ids every step; everything stays in one compiled
+    program (the host-side constrained policies in
+    ``generation.constrained`` remain the full-featured path — this is the
+    high-throughput batched variant for the design-loop's candidate
+    fan-out)."""
+    logits, cache, _ = prefill(params, cfg, prompt)
+    neg = jnp.asarray(NEG_INF, jnp.float32)
+
+    def body(carry, key):
+        logits, cache = carry
+        masked = jnp.where(allowed_mask[None, :], logits.astype(jnp.float32), neg)
+        if temperature <= 0:
+            token = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        else:
+            token = jax.random.categorical(
+                key, masked / temperature, axis=-1
+            ).astype(jnp.int32)
+        logits, cache, _ = decode_step(params, cfg, cache, token)
+        return (logits, cache), token
+
+    (_, _), tokens = jax.lax.scan(
+        body, (logits, cache), jax.random.split(key, n_tokens)
+    )
+    return tokens.T
+
+
 class CachedDecoder:
     """Host-side convenience wrapper maintaining a single-sequence cache.
 

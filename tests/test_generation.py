@@ -198,3 +198,28 @@ class TestScanGeneration:
             manual.append(np.asarray(token))
             logits, cache, _ = decode_step(params, cfg, cache, token)
         np.testing.assert_array_equal(scan_tokens, np.stack(manual, axis=1))
+
+    def test_generate_masked_tokens_respects_mask(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from genomics_lm_tpu.generation.constrained import cds_token_ids
+        from genomics_lm_tpu.generation.decode import generate_masked_tokens
+        from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+        from genomics_lm_tpu.tokenizers.codon import itos as codon_itos
+
+        cfg = CodonGPTConfig(vocab_size=68, block_size=64, n_layer=2,
+                             n_head=4, n_embd=64, dropout=0.0, sep_id=3)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        prompt = jnp.asarray(
+            np.random.default_rng(0).integers(4, 68, (4, 8)), jnp.int32
+        )
+        itos_list = [codon_itos[i] for i in range(68)]
+        allowed = np.zeros(68, bool)
+        allowed[cds_token_ids(itos_list)] = True
+        tokens = np.asarray(generate_masked_tokens(
+            params, cfg, prompt, 16, jax.random.key(1), 1.0,
+            jnp.asarray(allowed),
+        ))
+        assert tokens.shape == (4, 16)
+        assert allowed[tokens].all()  # every sampled id is in the CDS set
