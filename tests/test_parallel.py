@@ -139,3 +139,54 @@ class TestPsumSemantics:
         g_global = jax.grad(lambda w: ((x @ w[:, None]) ** 2).sum())(w)
         np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_global),
                                    rtol=1e-6)
+
+
+class TestMultiHostDataSharding:
+    """EpochPlan's per-(seed, epoch, host) sharding (SURVEY §5.8: each host
+    takes an interleaved shard of the SAME global permutation)."""
+
+    def _dataset(self, tmp_path):
+        from genomics_lm_tpu.data.datasets import PackedDataset
+
+        rng = np.random.default_rng(0)
+        X = rng.integers(4, 68, (32, 8)).astype(np.int32)
+        Y = np.roll(X, -1, axis=1)
+        Y[:, -1] = 0
+        np.savez(tmp_path / "d.npz", X=X, Y=Y)
+        return PackedDataset(tmp_path / "d.npz")
+
+    def test_hosts_partition_each_global_microbatch(self, tmp_path):
+        from genomics_lm_tpu.data.datasets import EpochPlan
+
+        ds = self._dataset(tmp_path)
+        plans = [EpochPlan(ds, batch_size=8, seed=7, epoch=3)
+                 for _ in range(2)]
+        # identical plan on every "host"
+        for (rows_a, _), (rows_b, _) in zip(plans[0].batches, plans[1].batches):
+            np.testing.assert_array_equal(rows_a, rows_b)
+
+        # the two hosts' local microbatches tile the global microbatch
+        global_rows = [rows for rows, _ in plans[0].batches]
+        host_batches = [
+            list(plans[h].microbatches(host_id=h, n_hosts=2)) for h in (0, 1)
+        ]
+        for b, rows in enumerate(global_rows):
+            got = np.concatenate([
+                rows[0::2],  # host 0's shard of this microbatch
+                rows[1::2],
+            ])
+            np.testing.assert_array_equal(np.sort(got), np.sort(rows))
+            x0, _ = host_batches[0][b]
+            x1, _ = host_batches[1][b]
+            assert x0.shape[0] + x1.shape[0] == len(rows)
+
+    def test_epoch_reseed_changes_order_deterministically(self, tmp_path):
+        from genomics_lm_tpu.data.datasets import EpochPlan
+
+        ds = self._dataset(tmp_path)
+        e0 = [r for r, _ in EpochPlan(ds, batch_size=8, seed=7, epoch=0).batches]
+        e1 = [r for r, _ in EpochPlan(ds, batch_size=8, seed=7, epoch=1).batches]
+        e0_again = [r for r, _ in EpochPlan(ds, batch_size=8, seed=7, epoch=0).batches]
+        assert any((a != b).any() for a, b in zip(e0, e1))
+        for a, b in zip(e0, e0_again):
+            np.testing.assert_array_equal(a, b)
