@@ -60,7 +60,10 @@ def extract_embeddings(
     out = []
     for start in range(0, len(token_rows), batch_size):
         batch = jnp.asarray(token_rows[start : start + batch_size], jnp.int32)
-        out.append(np.asarray(_pooled_hidden(params, cfg, batch, mode)))
+        # float32 output: bf16-trained models yield ml_dtypes.bfloat16 arrays,
+        # which sklearn rejects as non-numeric
+        out.append(np.asarray(_pooled_hidden(params, cfg, batch, mode),
+                              dtype=np.float32))
     return np.concatenate(out) if out else np.zeros((0, cfg.n_embd), np.float32)
 
 

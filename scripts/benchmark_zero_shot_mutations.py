@@ -48,7 +48,8 @@ def main(argv=None) -> int:
     with open(args.dms_csv) as f:
         for record in csv.DictReader(f):
             position = int(record["position"])
-            mutant = (record.get("mutant_codon") or record.get("mutant", "")).upper()
+            mutant = (record.get("mutant_codon") or record.get("mut_codon")
+                      or record.get("mutant", "")).upper()
             if position not in by_position or f"delta_{mutant}" not in by_position[position]:
                 skipped += 1
                 continue

@@ -83,7 +83,8 @@ def main(argv=None) -> int:
         for dna in dnas:
             ids = [1] + [stoi[dna[i : i + 3]] for i in range(0, 3 * L, 3)]
             hidden = np.asarray(
-                codon_gpt.forward_hidden(params, cfg, jnp.asarray([ids], jnp.int32))
+                codon_gpt.forward_hidden(params, cfg, jnp.asarray([ids], jnp.int32)),
+                dtype=np.float32,
             )[0]
             feats.append(hidden[1:])
         feature_sets["lm_hidden"] = np.concatenate(feats)

@@ -42,7 +42,11 @@ def main(argv=None) -> int:
     params, cfg, _, _ = load_codon_model(run_dir)
     cfg = cfg.replace(dropout=0.0)
     if not cfg.termination_aux:
-        raise SystemExit("checkpoint has no termination head (termination_aux=false)")
+        # absence of the optional head is a skip, not an eval failure
+        # (evaluate_run's medium/full modes include this track for every run)
+        print(json.dumps({"skipped": "checkpoint has no termination head "
+                                     "(termination_aux=false)"}))
+        return 0
     n_classes = cfg.termination_n_classes
 
     @jax.jit

@@ -65,7 +65,8 @@ def main(argv=None) -> int:
         for row, t in enumerate(toks):
             input_ids[row, : len(t)] = t
             mask[row, : len(t)] = 1
-        X.append(np.asarray(latents(jnp.asarray(input_ids), jnp.asarray(mask))))
+        X.append(np.asarray(latents(jnp.asarray(input_ids), jnp.asarray(mask)),
+                            dtype=np.float32))
     X = np.concatenate(X) if X else np.zeros((0, cfg.n_embd), np.float32)
 
     out = Path(args.out)

@@ -80,7 +80,8 @@ def main(argv=None) -> int:
         dna = "".join(base)
         ids = [1] + [stoi[dna[i : i + 3]] for i in range(0, 3 * L, 3)]
         hidden = np.asarray(
-            codon_gpt.forward_hidden(params, cfg, jnp.asarray([ids], jnp.int32))
+            codon_gpt.forward_hidden(params, cfg, jnp.asarray([ids], jnp.int32)),
+            dtype=np.float32,
         )[0][1:]
         feats.append(hidden)
         shapes = {**get_theoretical_shape(dna), **extended_shape(dna)}

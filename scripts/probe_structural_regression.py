@@ -52,7 +52,8 @@ def main(argv=None) -> int:
         dna = "".join(rng.choice(list("ACGT"), 3 * L))
         ids = [1] + [stoi[dna[i : i + 3]] for i in range(0, 3 * L, 3)]
         hidden = np.asarray(
-            codon_gpt.forward_hidden(params, cfg, jnp.asarray([ids], jnp.int32))
+            codon_gpt.forward_hidden(params, cfg, jnp.asarray([ids], jnp.int32)),
+            dtype=np.float32,
         )[0]
         shapes = get_theoretical_shape(dna)
         per_nt = np.stack([shapes["MGW"], shapes["Roll"], shapes["EP"]], axis=-1)
