@@ -24,6 +24,7 @@ import zipfile
 from pathlib import Path
 from typing import Any
 
+import jax
 import numpy as np
 
 from genomics_lm_tpu.training.runtime import atomic_write
@@ -96,6 +97,47 @@ def save_checkpoint(payload: dict[str, Any], path: str | Path) -> None:
                 zf.writestr(key + ".npy", buf.getvalue())
 
     atomic_write(path, write)
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer (orbax-style async semantics, SURVEY
+    §5.4): the device→host copy happens on the caller thread (it must —
+    arrays may be donated/overwritten next step), the serialization + atomic
+    file write happens on one worker thread. ``wait()`` joins the in-flight
+    write; a new ``save`` first joins the previous one so writes never
+    reorder. Exceptions surface on the next ``save``/``wait``.
+    """
+
+    def __init__(self):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+        self._pending = None
+
+    def save(self, payload: dict[str, Any], path: str | Path) -> None:
+        self.wait()
+        host_payload = jax.tree.map(
+            lambda v: np.asarray(v) if hasattr(v, "shape") else v, payload
+        )
+        self._pending = self._pool.submit(save_checkpoint, host_payload, path)
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()  # re-raises writer exceptions
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def load_checkpoint(path: str | Path) -> dict[str, Any]:
@@ -218,6 +260,7 @@ def _unflatten_paths(flat: dict[str, Any], like: dict) -> dict:
 
 
 __all__ = [
+    "AsyncCheckpointer",
     "checkpoint_array",
     "load_checkpoint",
     "load_checkpoint_meta",

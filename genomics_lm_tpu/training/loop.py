@@ -500,10 +500,21 @@ def run_training(
         }
         return payload
 
+    async_ckpt = (
+        ckpt_lib.AsyncCheckpointer() if bool(cfg.get("async_checkpointing", False))
+        else None
+    )
+
+    def write_ckpt(payload, path) -> None:
+        if async_ckpt is not None:
+            async_ckpt.save(payload, path)
+        else:
+            ckpt_lib.save_checkpoint(payload, path)
+
     def save_last(epoch_idx: int, reason: str, **metrics) -> None:
         payload = make_checkpoint_payload(epoch_idx, **metrics)
         payload["checkpoint_reason"] = reason
-        ckpt_lib.save_checkpoint(payload, ckpt_dir / LAST)
+        write_ckpt(payload, ckpt_dir / LAST)
         periodic_ckpt.mark_saved(step)
         print(f"[checkpoint] saved {ckpt_dir / LAST} reason={reason} step={step}")
 
@@ -764,8 +775,8 @@ def run_training(
             })
 
             if improved:
-                ckpt_lib.save_checkpoint(payload, ckpt_dir / "best.npz")
-                ckpt_lib.save_checkpoint(payload, ckpt_dir / f"best_epoch_{epoch_idx:03d}.npz")
+                write_ckpt(payload, ckpt_dir / "best.npz")
+                write_ckpt(payload, ckpt_dir / f"best_epoch_{epoch_idx:03d}.npz")
             elif int(cfg.get("early_stop_patience", 5)) > 0 and no_improve >= int(
                 cfg.get("early_stop_patience", 5)
             ):
@@ -833,6 +844,8 @@ def run_training(
             "best_epoch": best_epoch,
             "best_validation_loss": meta["best_val_loss"],
         })
+    if async_ckpt is not None:
+        async_ckpt.close()  # join the in-flight checkpoint write
     training_run.close()
     print(f"[timing] train_wall_sec={total_time:.2f}")
     if failure is not None and status == "failed":

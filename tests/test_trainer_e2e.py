@@ -249,3 +249,51 @@ class TestOOMSafeguard:
 
         assert _is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: while running"))
         assert not _is_oom_error(ValueError("shape mismatch"))
+
+
+class TestAsyncCheckpointing:
+    def test_async_run_produces_loadable_checkpoints(self, tmp_path):
+        from genomics_lm_tpu.training.checkpoints import load_checkpoint
+
+        make_fixture(tmp_path)
+        meta = run_training(
+            base_cfg(tmp_path, run_id="async-run", async_checkpointing=True),
+            run_root=str(tmp_path / "runs"),
+        )
+        assert meta["status"] == "completed"
+        ckpt_dir = tmp_path / "runs" / "async-run" / "checkpoints"
+        payload = load_checkpoint(ckpt_dir / "last.npz")
+        assert payload["run_progress"]["completed_epochs"] == 2
+        assert (ckpt_dir / "best.npz").exists()
+
+    def test_async_checkpointer_orders_writes(self, tmp_path):
+        import numpy as np
+
+        from genomics_lm_tpu.training.checkpoints import (
+            AsyncCheckpointer,
+            load_checkpoint,
+        )
+
+        path = tmp_path / "c.npz"
+        with AsyncCheckpointer() as ck:
+            for i in range(5):
+                ck.save({"step": np.asarray(i), "w": np.full(4, i, np.float32)},
+                        path)
+        final = load_checkpoint(path)
+        assert int(final["step"]) == 4
+
+    def test_async_checkpointer_surfaces_writer_errors(self, tmp_path):
+        import numpy as np
+        import pytest as _pytest
+
+        from genomics_lm_tpu.training.checkpoints import AsyncCheckpointer
+
+        ck = AsyncCheckpointer()
+        ck.save({"x": np.zeros(2)}, tmp_path / "nodir" / "a" / "c.npz")
+        # atomic_write mkdirs parents, so force a real failure: unwritable dir
+        bad = tmp_path / "file_not_dir"
+        bad.write_text("occupied")
+        ck.save({"x": np.zeros(2)}, bad / "c.npz")
+        with _pytest.raises(Exception):
+            ck.wait()
+        ck.close()
