@@ -110,6 +110,7 @@ ALLOWED_KEYS = frozenset(
         "flash_block_q",
         "flash_block_k",
         "scan_unroll",
+        "async_checkpointing",
         *COMMON_VALUES,
     }
 )
