@@ -159,8 +159,11 @@ def decode_step(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarray):
         Hq, Hkv = cfg.n_head, cfg.kv_heads
         G = Hq // Hkv
         qg = q.reshape(B, Hkv, G, cfg.head_dim)
+        # f32 accumulation via preferred_element_type — an astype(f32) on
+        # k_all would materialize a full-cache f32 copy every step
         scores = jnp.einsum(
-            "bhgd,bhsd->bhgs", qg.astype(jnp.float32), k_all.astype(jnp.float32)
+            "bhgd,bhsd->bhgs", qg, k_all,
+            preferred_element_type=jnp.float32,
         ) / jnp.sqrt(jnp.float32(cfg.head_dim))
         valid = base_valid & seg_ok  # (B, S)
         # the new token's own slot (index == length) is always attendable
