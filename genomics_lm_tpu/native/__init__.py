@@ -26,11 +26,17 @@ def _load():
     global _lib, _build_attempted
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and not _build_attempted:
+    src = _DIR / "genomics_native.cpp"
+    stale = (
+        not _LIB_PATH.exists()
+        or (src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+    )
+    if stale and not _build_attempted:
         _build_attempted = True
         try:
             subprocess.run(
-                ["make", "-C", str(_DIR)], check=True, capture_output=True, timeout=120
+                ["make", "-C", str(_DIR), "-B"], check=True, capture_output=True,
+                timeout=120,
             )
         except (OSError, subprocess.SubprocessError):
             return None

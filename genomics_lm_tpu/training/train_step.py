@@ -127,7 +127,7 @@ def composite_loss(
             else jnp.asarray(model_cfg.loss_weights, jnp.float32)
         )
         offset_total, offset_losses = L.multi_offset_lm_loss(
-            offset_logits if offset_logits else logits,
+            offset_logits,
             yb,
             weights,
             label_smoothing=loss_cfg.label_smoothing,

@@ -153,3 +153,28 @@ class TestTermination:
         )
         mine = float(losses.termination_aux_loss(jnp.asarray(tl), labels))
         assert abs(ref - mine) < 1e-5
+
+
+class TestCompositeLossSharedHead:
+    def test_offset_weights_without_offset_heads(self):
+        """multi_offset_weights set but the model has NO per-offset heads:
+        the shared LM head's logits must be reused (regression: truthiness
+        of a traced array raised ValueError)."""
+        import jax
+        from genomics_lm_tpu.models.config import CodonGPTConfig
+        from genomics_lm_tpu.models import codon_gpt
+        from genomics_lm_tpu.training.train_step import LossConfig, composite_loss
+
+        cfg = CodonGPTConfig(vocab_size=68, block_size=16, n_layer=1, n_head=2,
+                             n_embd=16, dropout=0.0)  # no multi_offset_targets
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        lcfg = LossConfig(multi_offset_weights=((2, 0.5), (3, 0.25)))
+        xb = jnp.asarray(rng.integers(4, 68, (2, 16)), jnp.int32)
+        yb = jnp.asarray(rng.integers(4, 68, (2, 16)), jnp.int32)
+        total, parts = jax.jit(
+            lambda p: composite_loss(p, cfg, lcfg, xb, yb, train=False, rng=None)
+        )(params)
+        assert np.isfinite(float(total))
+        assert set(parts["offset_losses"]) == {2, 3}
+        # shared head: total = next + sum of weighted offset CEs, all finite
+        assert float(total) > float(parts["next_loss"]) - 1e-6
