@@ -1,0 +1,359 @@
+"""Cross-framework numerical parity: CodonGPT (JAX) vs the reference TinyGPT.
+
+The BASELINE gates ("<0.5% val PPL", "identical next-codon top-k", "identical
+probe embeddings") rest on the claim that this model IS the reference
+architecture. These tests demonstrate it: the *actual* reference model
+(``src/codonlm/model_tiny_gpt.py``, imported read-only from the mounted
+checkout, torch CPU) is instantiated per toggle combination, its weights are
+transplanted into the JAX model through the documented layout map
+(``genomics_lm_tpu/utils/torch_bridge.py``), and we assert
+
+- logit agreement ≤ 1e-4 (f32) across the full architecture-toggle matrix,
+- identical loss values (CE + label smoothing + class weights + aux heads),
+- identical next-codon top-k ids and ordering on fixed prompts,
+- matching ``forward_hidden`` final/pooled embeddings (probe parity),
+- a golden-batch training run (same init, same batches, reference optimizer
+  semantics on the torch side vs ``build_optimizer``+``make_train_step`` on
+  the JAX side) whose per-step loss traces agree.
+
+Skipped automatically when torch or the reference checkout is unavailable
+(set GENOMICS_REFERENCE_ROOT to point elsewhere).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genomics_lm_tpu.models import codon_gpt
+from genomics_lm_tpu.models.config import CodonGPTConfig
+from genomics_lm_tpu.utils import torch_bridge
+
+if not torch_bridge.reference_available():  # pragma: no cover
+    pytest.skip(
+        "reference checkout or torch unavailable", allow_module_level=True
+    )
+
+import torch  # noqa: E402
+
+rng = np.random.default_rng(1234)
+
+
+def make_tokens(B, T, *, with_sep=True, with_pad=True):
+    """Codon-ish token batches: ids 4..67, optional <SEP>=3 and PAD=0 runs."""
+    x = rng.integers(4, 68, (B, T))
+    if with_sep:
+        for b in range(B):
+            for pos in rng.choice(np.arange(2, T - 1), size=2, replace=False):
+                x[b, pos] = 3
+    y = np.roll(x, -1, axis=1)
+    if with_pad:
+        x[:, -2:] = 0
+        y[:, -3:] = 0
+    return x.astype(np.int64), y.astype(np.int64)
+
+
+def transplanted_pair(cfg: CodonGPTConfig, *, randomize_zero_init=False):
+    """Reference model (torch init) + JAX params carrying the same weights."""
+    torch.manual_seed(7)
+    model = torch_bridge.build_reference_model(cfg)
+    if randomize_zero_init and cfg.use_shape_guidance:
+        # shape_proj is zero-init on both sides; give it signal so the
+        # guidance path is actually exercised, not trivially zero.
+        with torch.no_grad():
+            model.shape_proj.weight.normal_(std=0.3)
+            model.shape_proj.bias.normal_(std=0.1)
+    model.eval()
+    params = torch_bridge.torch_state_to_jax(model.state_dict(), cfg)
+    return model, params
+
+
+TOGGLE_MATRIX = {
+    "baseline": {},
+    "rope": {"use_rope": True},
+    "swiglu": {"use_swiglu": True},
+    "gqa": {"n_kv_head": 2},
+    "untied": {"tie_embeddings": False},
+    "no_segment_mask": {"sep_id": None},
+    "termination": {"termination_aux": True, "termination_n_classes": 5},
+    "multi_offset": {"multi_offset_targets": (2, 3)},
+    "shape_guidance": {"use_shape_guidance": True},
+    "weighted_smoothed_ce": {
+        "label_smoothing": 0.1,
+        "loss_weights": tuple(
+            np.clip(rng.uniform(0.2, 2.0, 68), 0.2, 2.0).tolist()
+        ),
+    },
+    "all_on": {
+        "use_rope": True,
+        "use_swiglu": True,
+        "n_kv_head": 2,
+        "termination_aux": True,
+        "multi_offset_targets": (2, 4),
+        "label_smoothing": 0.05,
+    },
+}
+
+
+def toggle_cfg(name: str) -> CodonGPTConfig:
+    base = dict(
+        vocab_size=68, block_size=32, n_layer=2, n_head=4, n_embd=32,
+        dropout=0.0,
+    )
+    base.update(TOGGLE_MATRIX[name])
+    return CodonGPTConfig(**base)
+
+
+class TestLogitParity:
+    @pytest.mark.parametrize("name", sorted(TOGGLE_MATRIX))
+    def test_logits_and_loss_match(self, name):
+        cfg = toggle_cfg(name)
+        model, params = transplanted_pair(cfg, randomize_zero_init=True)
+        x, y = make_tokens(3, cfg.block_size)
+
+        shape_np = None
+        shape_torch = shape_jax = None
+        if cfg.use_shape_guidance:
+            shape_np = rng.normal(size=(3, cfg.block_size, 3)).astype(np.float32)
+            shape_torch = torch.from_numpy(shape_np)
+            shape_jax = jnp.asarray(shape_np)
+
+        with torch.no_grad():
+            ref_logits, ref_loss, ref_aux = model(
+                torch.from_numpy(x), torch.from_numpy(y),
+                return_aux=True, shape_embeddings=shape_torch,
+            )
+        logits, loss, aux = codon_gpt.forward(
+            params, cfg, jnp.asarray(x), jnp.asarray(y),
+            train=False, return_aux=True, shape_embeddings=shape_jax,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(logits), ref_logits.numpy(), atol=1e-4, rtol=0,
+            err_msg=f"logits diverge for toggle '{name}'",
+        )
+        assert abs(float(loss) - float(ref_loss)) < 1e-5
+        if cfg.termination_aux:
+            np.testing.assert_allclose(
+                np.asarray(aux["termination_logits"]),
+                ref_aux["termination_logits"].numpy(), atol=1e-4, rtol=0,
+            )
+        for offset in cfg.multi_offset_targets:
+            np.testing.assert_allclose(
+                np.asarray(aux["offset_logits"][offset]),
+                ref_aux["offset_logits"][offset].numpy(), atol=1e-4, rtol=0,
+            )
+
+    def test_attention_window_matches(self):
+        cfg = toggle_cfg("baseline")
+        model, params = transplanted_pair(cfg)
+        x, y = make_tokens(2, cfg.block_size)
+        with torch.no_grad():
+            ref_logits, _ = model(
+                torch.from_numpy(x), torch.from_numpy(y), attention_window=8
+            )
+        logits, _ = codon_gpt.forward(
+            params, cfg, jnp.asarray(x), jnp.asarray(y),
+            train=False, attention_window=8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), ref_logits.numpy(), atol=1e-4, rtol=0
+        )
+
+    def test_reverse_transplant_round_trips(self):
+        """JAX init → torch → forward agreement (the map works both ways)."""
+        cfg = toggle_cfg("all_on")
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        model = torch_bridge.jax_params_to_torch(params, cfg)
+        model.eval()
+        x, y = make_tokens(2, cfg.block_size)
+        with torch.no_grad():
+            ref_logits, ref_loss = model(torch.from_numpy(x), torch.from_numpy(y))
+        logits, loss = codon_gpt.forward(
+            params, cfg, jnp.asarray(x), jnp.asarray(y), train=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), ref_logits.numpy(), atol=1e-4, rtol=0
+        )
+        assert abs(float(loss) - float(ref_loss)) < 1e-5
+
+
+class TestDecodeParity:
+    def test_next_codon_topk_identical(self):
+        """The BASELINE gate: identical next-codon top-k on fixed prompts."""
+        cfg = toggle_cfg("baseline")
+        model, params = transplanted_pair(cfg)
+        prompts = [
+            [1, 10, 24, 33],          # <BOS> + codons
+            [1, 5, 5, 5, 5, 5, 5],    # repeated codon
+            [1] + rng.integers(4, 68, 20).tolist(),
+        ]
+        for prompt in prompts:
+            x = np.asarray([prompt], dtype=np.int64)
+            with torch.no_grad():
+                ref_logits, _ = model(torch.from_numpy(x))
+            ref_next = ref_logits[0, -1].numpy()
+            mine_next = np.asarray(
+                codon_gpt.forward(params, cfg, jnp.asarray(x), train=False)[0]
+            )[0, -1]
+            ref_topk = np.argsort(-ref_next, kind="stable")[:5]
+            my_topk = np.argsort(-mine_next, kind="stable")[:5]
+            np.testing.assert_array_equal(ref_topk, my_topk)
+
+    def test_probe_embeddings_match(self):
+        """forward_hidden final states + mean-pool (probe features) agree."""
+        cfg = toggle_cfg("rope")
+        model, params = transplanted_pair(cfg)
+        x, _ = make_tokens(3, cfg.block_size, with_pad=False)
+        with torch.no_grad():
+            ref_hidden = model.forward_hidden(torch.from_numpy(x)).numpy()
+        mine = np.asarray(codon_gpt.forward_hidden(params, cfg, jnp.asarray(x)))
+        np.testing.assert_allclose(mine, ref_hidden, atol=1e-4, rtol=0)
+        np.testing.assert_allclose(
+            mine.mean(axis=1), ref_hidden.mean(axis=1), atol=1e-4, rtol=0
+        )
+
+    def test_hidden_state_ladder_matches(self):
+        """Every stage of iter_hidden_states agrees (interp parity)."""
+        cfg = toggle_cfg("baseline")
+        model, params = transplanted_pair(cfg)
+        x, _ = make_tokens(2, cfg.block_size, with_pad=False)
+        ref_states = dict(model.iter_hidden_states(torch.from_numpy(x)))
+        for layer, state in codon_gpt.hidden_states(params, cfg, jnp.asarray(x)):
+            np.testing.assert_allclose(
+                np.asarray(state), ref_states[layer].detach().numpy(),
+                atol=1e-4, rtol=0, err_msg=f"hidden state {layer} diverges",
+            )
+
+
+class TestGoldenBatchTraining:
+    def test_training_traces_agree(self):
+        """Same init + same batches → same per-step losses, both frameworks.
+
+        The torch side replicates the reference trainer's semantics
+        (``loop.py:700-731``: AdamW, two param groups — aux heads fast/wd0,
+        backbone base/wd — with the cosine-warmup LambdaLR and loss/gacc
+        accumulation). The JAX side is this repo's actual production pieces:
+        ``build_optimizer`` + ``make_train_step``.
+        """
+        import optax
+        from genomics_lm_tpu.training.optim import build_optimizer, cosine_lr_lambda
+        from genomics_lm_tpu.training.train_step import LossConfig, make_train_step
+
+        cfg = CodonGPTConfig(
+            vocab_size=68, block_size=16, n_layer=2, n_head=2, n_embd=16,
+            dropout=0.0, termination_aux=True,
+        )
+        run_cfg = {
+            "lr": 3e-3, "lr_embedding": 6e-3, "weight_decay": 0.05,
+            "min_lr": 3e-4, "warmup_steps": 3, "scheduler": "cosine",
+        }
+        n_steps, gacc, B = 12, 2, 4
+
+        torch.manual_seed(11)
+        model = torch_bridge.build_reference_model(cfg)
+        model.train()
+        params = torch_bridge.torch_state_to_jax(model.state_dict(), cfg)
+
+        # --- torch side: reference optimizer/schedule semantics
+        fast, base = [], []
+        for name, p in model.named_parameters():
+            (fast if any(m in name for m in
+                         ("shape_proj", "offset_projs", "termination_head"))
+             else base).append(p)
+        optim = torch.optim.AdamW([
+            {"params": fast, "lr": run_cfg["lr_embedding"], "weight_decay": 0.0},
+            {"params": base, "lr": run_cfg["lr"],
+             "weight_decay": run_cfg["weight_decay"]},
+        ])
+        mult = cosine_lr_lambda(3, n_steps, run_cfg["min_lr"] / run_cfg["lr"])
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            optim, lambda s: float(mult(s))
+        )
+
+        # --- JAX side: production optimizer + compiled group step
+        bundle = build_optimizer(run_cfg, params, total_steps=n_steps)
+        lcfg = LossConfig(
+            termination_enabled=True, termination_weight=0.5,
+            termination_stop_ids=(22, 24, 40),
+        )
+        step = make_train_step(cfg, lcfg, bundle.tx)
+        opt_state = bundle.tx.init(params)
+
+        batches = [
+            make_tokens(gacc * B, cfg.block_size) for _ in range(n_steps)
+        ]
+
+        def torch_step(x, y):
+            optim.zero_grad(set_to_none=True)
+            total = 0.0
+            for g in range(gacc):
+                xb = torch.from_numpy(x[g * B:(g + 1) * B])
+                yb = torch.from_numpy(y[g * B:(g + 1) * B])
+                logits, loss, aux = model(xb, yb, return_aux=True)
+                import torch.nn.functional as F
+                from genomics_lm_tpu.ops.losses import (
+                    termination_distance_bucket_labels,
+                )
+                labels = np.asarray(termination_distance_bucket_labels(
+                    jnp.asarray(np.asarray(yb)), (22, 24, 40)
+                ))
+                term = F.cross_entropy(
+                    aux["termination_logits"].reshape(-1, 5),
+                    torch.from_numpy(labels).long().reshape(-1),
+                    ignore_index=-100,
+                )
+                combined = loss + 0.5 * term
+                (combined / gacc).backward()
+                total += float(combined.detach()) / gacc
+            optim.step()
+            sched.step()
+            return total
+
+        jax_params, jax_opt = params, opt_state
+        key = jax.random.key(0)
+        torch_trace, jax_trace = [], []
+        for i, (x, y) in enumerate(batches):
+            torch_trace.append(torch_step(x, y))
+            batch = {
+                "x": jnp.asarray(x.reshape(gacc, B, -1)),
+                "y": jnp.asarray(y.reshape(gacc, B, -1)),
+            }
+            jax_params, jax_opt, metrics = step(
+                jax_params, jax_opt, batch, key, jnp.asarray(1.0)
+            )
+            jax_trace.append(
+                float(metrics["total_loss_sum"])
+                / max(1, int(metrics["committed_microbatches"]))
+            )
+
+        torch_trace = np.asarray(torch_trace)
+        jax_trace = np.asarray(jax_trace)
+        # identical init → first loss must match tightly; later steps drift
+        # only by f32 reduction-order noise through AdamW's sqrt/eps.
+        assert abs(torch_trace[0] - jax_trace[0]) < 1e-5
+        np.testing.assert_allclose(jax_trace, torch_trace, atol=2e-3, rtol=0)
+        # both sides actually learned (the comparison is not vacuous)
+        assert torch_trace[-1] < torch_trace[0] - 0.05
+        assert jax_trace[-1] < jax_trace[0] - 0.05
+
+        # Final parameters still agree (optimizer semantics end-to-end).
+        # Exemption: attn.key.bias is a softmax-invariant direction
+        # (score_ij = q_i·k_j + q_i·b where the q_i·b term is constant over
+        # j), so its true gradient is zero and Adam turns independent f32
+        # rounding noise into O(lr)-magnitude updates on both sides — it
+        # diverges by construction while every functional parameter matches.
+        import jax.tree_util as jtu
+
+        final_ref = torch_bridge.torch_state_to_jax(model.state_dict(), cfg)
+        ref_leaves = jax.tree.leaves(final_ref)
+        for (path, leaf_mine), leaf_ref in zip(
+            jtu.tree_leaves_with_path(jax_params), ref_leaves
+        ):
+            pathstr = jtu.keystr(path)
+            tol = 1e-2 if "'key']['b'" in pathstr else 5e-4
+            np.testing.assert_allclose(
+                np.asarray(leaf_mine), np.asarray(leaf_ref), atol=tol, rtol=0,
+                err_msg=f"final params diverge at {pathstr}",
+            )
