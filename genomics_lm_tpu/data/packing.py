@@ -1,19 +1,20 @@
 """Lossless token chunking and auditable multi-window packing.
 
-Behavioral parity with the reference (``src/codonlm/lossless_packing.py``):
+Behavioral spec (reference ``src/codonlm/lossless_packing.py``), kept
+semantically identical because the on-disk arrays and metadata tables are a
+cross-framework data contract:
 
-- ``chunk_record``: a fragment is split into chunks of at most
-  ``block_size + 1`` tokens with **one-token overlap**, so every next-token
-  transition of the source appears in exactly one chunk ("exactly_once"
-  transition policy, asserted by the dataset manifest).
-- ``pack_chunks``: ``single``/``dynamic`` keep one chunk per window; ``multi``
-  packs several complete CDS chunks per window separated by ``sep_id``,
-  flushing before/after continuation chunks so overlapping chunks never share
-  a window.
-- ``packed_arrays``: fixed mode emits shifted X/Y ``(N, block_size)`` int32
-  arrays (TPU-friendly static shapes); dynamic mode emits a flat token stream
-  plus per-window lengths. Both carry aligned provenance rows
-  (``segment_ids/source_positions/chunk_ids``).
+- a fragment splits into chunks of at most ``block_size + 1`` tokens with a
+  **one-token overlap**, so every next-token transition of the source lands
+  in exactly one chunk (the manifest's ``exactly_once`` transition policy);
+- ``single``/``dynamic`` packing keeps one chunk per window; ``multi`` packs
+  several complete CDS chunks per window separated by ``sep_id``, and any
+  continuation chunk (either side of an overlap) gets a window of its own so
+  the overlap token never duplicates a transition across a separator;
+- fixed-mode arrays are shifted X/Y ``(N, block_size)`` int32 matrices
+  (TPU-friendly static shapes); dynamic mode emits a flat token stream plus
+  per-window lengths; both carry aligned ``segment_ids`` /
+  ``source_positions`` / ``chunk_ids`` provenance.
 """
 
 from __future__ import annotations
@@ -23,25 +24,15 @@ from typing import Any, Iterable, Mapping
 
 import numpy as np
 
+# column order of the packing-metadata table (cross-framework contract)
 PACKING_METADATA_FIELDS = [
-    "split",
-    "window_index",
-    "window_token_count",
-    "window_token_start",
-    "window_token_end",
-    "source_id",
-    "source_line_idx",
-    "fragment_line_idx",
-    "fragment_index",
-    "chunk_index",
-    "source_token_start",
-    "source_token_end",
-    "codon_start",
-    "codon_end",
-    "continues_from_previous",
-    "continues_to_next",
-    "starts_fragment",
-    "ends_fragment",
+    "split", "window_index", "window_token_count",
+    "window_token_start", "window_token_end",
+    "source_id", "source_line_idx", "fragment_line_idx", "fragment_index",
+    "chunk_index", "source_token_start", "source_token_end",
+    "codon_start", "codon_end",
+    "continues_from_previous", "continues_to_next",
+    "starts_fragment", "ends_fragment",
 ]
 
 
@@ -63,6 +54,25 @@ class TokenChunk:
     continues_from_previous: bool
     continues_to_next: bool
 
+    def placed_at(self, window_lo: int, window_hi: int) -> "PackedSpan":
+        """This chunk's provenance, anchored at a window position."""
+        return PackedSpan(
+            source_id=self.source_id,
+            source_line_idx=self.source_line_idx,
+            fragment_line_idx=self.fragment_line_idx,
+            fragment_index=self.fragment_index,
+            chunk_index=self.chunk_index,
+            split=self.split,
+            source_token_start=self.token_start,
+            source_token_end=self.token_end,
+            codon_start=self.codon_start,
+            codon_end=self.codon_end,
+            window_token_start=window_lo,
+            window_token_end=window_hi,
+            continues_from_previous=self.continues_from_previous,
+            continues_to_next=self.continues_to_next,
+        )
+
 
 @dataclass(frozen=True)
 class PackedSpan:
@@ -83,6 +93,10 @@ class PackedSpan:
     continues_from_previous: bool
     continues_to_next: bool
 
+    @property
+    def transition_count(self) -> int:
+        return self.window_token_end - self.window_token_start - 1
+
 
 @dataclass(frozen=True)
 class PackedWindow:
@@ -92,67 +106,85 @@ class PackedWindow:
     spans: tuple[PackedSpan, ...]
 
 
-def chunk_record(record: Mapping[str, Any], block_size: int) -> list[TokenChunk]:
-    """Chunk one fragment with one-token overlap and complete transition cover.
+def _chunk_boundaries(n_tokens: int, capacity: int) -> list[tuple[int, int]]:
+    """[start, end) windows over the token list, overlapping by one token."""
+    cuts: list[tuple[int, int]] = []
+    lo = 0
+    while lo < n_tokens - 1:
+        hi = min(lo + capacity, n_tokens)
+        cuts.append((lo, hi))
+        lo = hi - 1
+    return cuts
 
-    ``block_size`` is the number of next-token transitions the model consumes,
-    so a chunk holds at most ``block_size + 1`` tokens and consecutive chunks
-    share exactly one boundary token.
+
+def chunk_record(record: Mapping[str, Any], block_size: int) -> list[TokenChunk]:
+    """Chunk one fragment with complete, exactly-once transition coverage.
+
+    ``block_size`` counts next-token transitions, so each chunk holds at
+    most ``block_size + 1`` tokens and consecutive chunks share exactly one
+    boundary token. Token index t maps to codon t-1 (token 0 is <BOS_CDS>).
     """
     if block_size < 1:
         raise ValueError("block_size must be at least 1")
     tokens = tuple(int(t) for t in record["tokens"])
     if len(tokens) < 2:
         return []
-
-    codon_lo = int(record["fragment_codon_start"])
-    codon_count = int(record["fragment_codon_end"]) - codon_lo
-    capacity = block_size + 1
-    chunks: list[TokenChunk] = []
-    start = 0
-    while start < len(tokens) - 1:
-        end = min(start + capacity, len(tokens))
-        chunks.append(
-            TokenChunk(
-                tokens=tokens[start:end],
-                source_id=str(record["source_id"]),
-                source_line_idx=int(record["source_line_idx"]),
-                fragment_line_idx=int(record["fragment_line_idx"]),
-                fragment_index=int(record["fragment_index"]),
-                chunk_index=len(chunks),
-                split=str(record["split"]),
-                token_start=start,
-                token_end=end,
-                # Token index t maps to codon t-1 (token 0 is <BOS_CDS>).
-                codon_start=codon_lo + max(0, start - 1),
-                codon_end=codon_lo + min(codon_count, end - 1),
-                continues_from_previous=start > 0,
-                continues_to_next=end < len(tokens),
-            )
+    codon_base = int(record["fragment_codon_start"])
+    n_codons = int(record["fragment_codon_end"]) - codon_base
+    return [
+        TokenChunk(
+            tokens=tokens[lo:hi],
+            source_id=str(record["source_id"]),
+            source_line_idx=int(record["source_line_idx"]),
+            fragment_line_idx=int(record["fragment_line_idx"]),
+            fragment_index=int(record["fragment_index"]),
+            chunk_index=idx,
+            split=str(record["split"]),
+            token_start=lo,
+            token_end=hi,
+            codon_start=codon_base + max(0, lo - 1),
+            codon_end=codon_base + min(n_codons, hi - 1),
+            continues_from_previous=lo > 0,
+            continues_to_next=hi < len(tokens),
         )
-        if end == len(tokens):
-            break
-        start = end - 1
-    return chunks
+        for idx, (lo, hi) in enumerate(_chunk_boundaries(len(tokens), block_size + 1))
+    ]
 
 
-def _span(chunk: TokenChunk, window_start: int, window_end: int) -> PackedSpan:
-    return PackedSpan(
-        source_id=chunk.source_id,
-        source_line_idx=chunk.source_line_idx,
-        fragment_line_idx=chunk.fragment_line_idx,
-        fragment_index=chunk.fragment_index,
-        chunk_index=chunk.chunk_index,
-        split=chunk.split,
-        source_token_start=chunk.token_start,
-        source_token_end=chunk.token_end,
-        codon_start=chunk.codon_start,
-        codon_end=chunk.codon_end,
-        window_token_start=window_start,
-        window_token_end=window_end,
-        continues_from_previous=chunk.continues_from_previous,
-        continues_to_next=chunk.continues_to_next,
-    )
+class _WindowBuilder:
+    """Accumulates chunks into one window; emits on flush."""
+
+    def __init__(self, capacity: int, sep_id: int):
+        self.capacity = capacity
+        self.sep_id = sep_id
+        self.tokens: list[int] = []
+        self.spans: list[PackedSpan] = []
+        self.done: list[PackedWindow] = []
+
+    def flush(self) -> None:
+        # a window with <2 tokens has no transition — drop it
+        if len(self.tokens) > 1:
+            self.done.append(
+                PackedWindow(tokens=tuple(self.tokens), spans=tuple(self.spans))
+            )
+        self.tokens, self.spans = [], []
+
+    def add(self, chunk: TokenChunk) -> None:
+        # Overlapping chunks may never share a window with anything else:
+        # the one-token overlap would duplicate a transition across <SEP>.
+        if chunk.continues_from_previous and self.tokens:
+            self.flush()
+        sep_cost = 1 if self.tokens else 0
+        if len(self.tokens) + sep_cost + len(chunk.tokens) > self.capacity:
+            self.flush()
+            sep_cost = 0
+        if sep_cost:
+            self.tokens.append(self.sep_id)
+        lo = len(self.tokens)
+        self.tokens.extend(chunk.tokens)
+        self.spans.append(chunk.placed_at(lo, len(self.tokens)))
+        if chunk.continues_to_next or len(self.tokens) == self.capacity:
+            self.flush()
 
 
 def pack_chunks(
@@ -166,75 +198,60 @@ def pack_chunks(
     if mode not in {"single", "dynamic", "multi"}:
         raise ValueError(f"Unsupported pack mode: {mode!r}")
     capacity = block_size + 1
-    chunk_list = list(chunks)
-    if any(len(c.tokens) > capacity for c in chunk_list):
+    todo = list(chunks)
+    oversized = [c for c in todo if len(c.tokens) > capacity]
+    if oversized:
         raise ValueError("Chunk exceeds block_size + 1 token capacity")
 
-    if mode in {"single", "dynamic"}:
+    if mode != "multi":
         return [
-            PackedWindow(tokens=c.tokens, spans=(_span(c, 0, len(c.tokens)),))
-            for c in chunk_list
+            PackedWindow(tokens=c.tokens, spans=(c.placed_at(0, len(c.tokens)),))
+            for c in todo
         ]
 
-    windows: list[PackedWindow] = []
-    cur_tokens: list[int] = []
-    cur_spans: list[PackedSpan] = []
-
-    def flush() -> None:
-        nonlocal cur_tokens, cur_spans
-        if len(cur_tokens) >= 2:
-            windows.append(PackedWindow(tokens=tuple(cur_tokens), spans=tuple(cur_spans)))
-        cur_tokens = []
-        cur_spans = []
-
-    for chunk in chunk_list:
-        # Continuation chunks must start their own window: the one-token
-        # overlap would otherwise duplicate a transition across the <SEP>.
-        if chunk.continues_from_previous and cur_tokens:
-            flush()
-        need_sep = 1 if cur_tokens else 0
-        if len(cur_tokens) + need_sep + len(chunk.tokens) > capacity:
-            flush()
-            need_sep = 0
-        if need_sep:
-            cur_tokens.append(sep_id)
-        start = len(cur_tokens)
-        cur_tokens.extend(chunk.tokens)
-        cur_spans.append(_span(chunk, start, len(cur_tokens)))
-        if chunk.continues_to_next or len(cur_tokens) == capacity:
-            flush()
-    flush()
-    return windows
+    builder = _WindowBuilder(capacity, sep_id)
+    for chunk in todo:
+        builder.add(chunk)
+    builder.flush()
+    return builder.done
 
 
 def packing_metadata_rows(split: str, windows: Iterable[PackedWindow]) -> list[dict[str, Any]]:
-    """Portable tabular provenance rows for packed windows."""
-    rows = []
-    for window_index, window in enumerate(windows):
+    """Portable tabular provenance rows (schema: PACKING_METADATA_FIELDS)."""
+    table: list[dict[str, Any]] = []
+    for w_idx, window in enumerate(windows):
         for span in window.spans:
-            rows.append(
-                {
-                    "split": split,
-                    "window_index": window_index,
-                    "window_token_count": len(window.tokens),
-                    "window_token_start": span.window_token_start,
-                    "window_token_end": span.window_token_end,
-                    "source_id": span.source_id,
-                    "source_line_idx": span.source_line_idx,
-                    "fragment_line_idx": span.fragment_line_idx,
-                    "fragment_index": span.fragment_index,
-                    "chunk_index": span.chunk_index,
-                    "source_token_start": span.source_token_start,
-                    "source_token_end": span.source_token_end,
-                    "codon_start": span.codon_start,
-                    "codon_end": span.codon_end,
-                    "continues_from_previous": int(span.continues_from_previous),
-                    "continues_to_next": int(span.continues_to_next),
-                    "starts_fragment": int(span.source_token_start == 0),
-                    "ends_fragment": int(not span.continues_to_next),
-                }
-            )
-    return rows
+            row = {
+                "split": split,
+                "window_index": w_idx,
+                "window_token_count": len(window.tokens),
+                "starts_fragment": int(span.source_token_start == 0),
+                "ends_fragment": int(not span.continues_to_next),
+            }
+            for field in (
+                "window_token_start", "window_token_end", "source_id",
+                "source_line_idx", "fragment_line_idx", "fragment_index",
+                "chunk_index", "source_token_start", "source_token_end",
+                "codon_start", "codon_end",
+            ):
+                row[field] = getattr(span, field)
+            for field in ("continues_from_previous", "continues_to_next"):
+                row[field] = int(getattr(span, field))
+            table.append({k: row[k] for k in PACKING_METADATA_FIELDS})
+    return table
+
+
+def _window_provenance(window: PackedWindow) -> np.ndarray:
+    """(3, n) provenance for one window: segment / source-position / chunk."""
+    prov = np.full((3, len(window.tokens)), -1, dtype=np.int32)
+    for span in window.spans:
+        sl = slice(span.window_token_start, span.window_token_end)
+        prov[0, sl] = span.fragment_line_idx
+        prov[1, sl] = np.arange(
+            span.source_token_start, span.source_token_end, dtype=np.int32
+        )
+        prov[2, sl] = span.chunk_index
+    return prov
 
 
 def packed_arrays(
@@ -242,56 +259,38 @@ def packed_arrays(
 ) -> dict[str, np.ndarray]:
     """Packed windows → loader-compatible arrays with aligned provenance."""
     window_list = list(windows)
-    seg_rows, pos_rows, chunk_rows = [], [], []
-    for window in window_list:
-        n = len(window.tokens)
-        seg = np.full(n, -1, dtype=np.int32)
-        pos = np.full(n, -1, dtype=np.int32)
-        cid = np.full(n, -1, dtype=np.int32)
-        for span in window.spans:
-            lo, hi = span.window_token_start, span.window_token_end
-            seg[lo:hi] = span.fragment_line_idx
-            pos[lo:hi] = np.arange(span.source_token_start, span.source_token_end, dtype=np.int32)
-            cid[lo:hi] = span.chunk_index
-        seg_rows.append(seg)
-        pos_rows.append(pos)
-        chunk_rows.append(cid)
+    prov = [_window_provenance(w) for w in window_list]
 
     if mode == "dynamic":
-        def cat(rows, builder=None):
-            if not rows:
-                return np.zeros((0,), dtype=np.int32)
-            return np.concatenate(rows)
-
+        empty = np.zeros((0,), dtype=np.int32)
         return {
-            "X": cat([np.asarray(w.tokens, dtype=np.int32) for w in window_list]),
+            "X": np.concatenate(
+                [np.asarray(w.tokens, dtype=np.int32) for w in window_list]
+            ) if window_list else empty,
             "lengths": np.asarray([len(w.tokens) for w in window_list], dtype=np.int32),
-            "segment_ids": cat(seg_rows),
-            "source_positions": cat(pos_rows),
-            "chunk_ids": cat(chunk_rows),
+            "segment_ids": np.concatenate([p[0] for p in prov]) if prov else empty,
+            "source_positions": np.concatenate([p[1] for p in prov]) if prov else empty,
+            "chunk_ids": np.concatenate([p[2] for p in prov]) if prov else empty,
         }
 
-    n_win = len(window_list)
-    X = np.zeros((n_win, block_size), dtype=np.int32)
-    Y = np.zeros((n_win, block_size), dtype=np.int32)
-    segment_ids = np.full((n_win, block_size), -1, dtype=np.int32)
-    source_positions = np.full((n_win, block_size), -1, dtype=np.int32)
-    chunk_ids = np.full((n_win, block_size), -1, dtype=np.int32)
-    for i, window in enumerate(window_list):
-        tokens = np.asarray(window.tokens, dtype=np.int32)
-        t = len(tokens) - 1  # number of transitions
-        X[i, :t] = tokens[:-1]
-        Y[i, :t] = tokens[1:]
-        segment_ids[i, :t] = seg_rows[i][:-1]
-        source_positions[i, :t] = pos_rows[i][:-1]
-        chunk_ids[i, :t] = chunk_rows[i][:-1]
-    return {
-        "X": X,
-        "Y": Y,
-        "segment_ids": segment_ids,
-        "source_positions": source_positions,
-        "chunk_ids": chunk_ids,
+    # fixed mode: shifted next-token pairs, right-padded to block_size
+    shape = (len(window_list), block_size)
+    out = {
+        "X": np.zeros(shape, dtype=np.int32),
+        "Y": np.zeros(shape, dtype=np.int32),
+        "segment_ids": np.full(shape, -1, dtype=np.int32),
+        "source_positions": np.full(shape, -1, dtype=np.int32),
+        "chunk_ids": np.full(shape, -1, dtype=np.int32),
     }
+    for i, window in enumerate(window_list):
+        ids = np.asarray(window.tokens, dtype=np.int32)
+        t = ids.size - 1  # transitions in this window
+        out["X"][i, :t] = ids[:-1]
+        out["Y"][i, :t] = ids[1:]
+        out["segment_ids"][i, :t] = prov[i][0, :-1]
+        out["source_positions"][i, :t] = prov[i][1, :-1]
+        out["chunk_ids"][i, :t] = prov[i][2, :-1]
+    return out
 
 
 __all__ = [

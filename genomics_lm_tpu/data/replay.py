@@ -1,57 +1,70 @@
-"""Generated-state replay data for termination-head correction training.
+"""Generated-state replay batches for termination-head correction training.
 
-Parity: reference ``src/codonlm/replay.py`` — JSONL records of generated
-contexts (``ids``) with sparse termination labels (``labels`` of
-``{"pos", "class"}`` or legacy ``label_position``/``target_class``),
-left-clipped to ``block_size``; the label array is ``IGNORE_INDEX``
-everywhere except supervised positions. Numpy-native (feeds the compiled
-step directly).
+Behavioral spec (reference ``src/codonlm/replay.py``): a JSONL file of
+generated contexts — ``ids`` plus sparse termination labels, either a
+``labels`` list of ``{"pos", "class"}`` entries or the legacy scalar pair
+``label_position``/``target_class`` — becomes fixed-length training rows.
+Contexts longer than ``block_size`` keep their *tail* (left clip), label
+positions shift accordingly, and labels falling outside the kept window are
+dropped; rows with no surviving label are excluded entirely. Targets are
+``IGNORE_INDEX`` except at supervised positions.
+
+Redesign vs the reference's torch ``Dataset``: everything is materialized
+into two dense int32 matrices at load time, so batches are plain row slices
+that feed the compiled JAX step directly — no per-item tensor assembly.
 """
 
 from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Iterable
 
 import numpy as np
 
 IGNORE_INDEX = -100
 
 
-def _iter_jsonl(path: Path) -> Iterable[dict]:
-    with path.open() as fh:
-        for line_no, line in enumerate(fh, start=1):
-            raw = line.strip()
-            if not raw:
-                continue
+class ReplayFormatError(ValueError):
+    """A replay JSONL line that cannot be parsed at all."""
+
+
+def _parse_line(raw: str, where: str) -> dict | None:
+    text = raw.strip()
+    if not text:
+        return None
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as exc:
+        raise ReplayFormatError(f"invalid JSONL record at {where}: {exc}") from exc
+
+
+def _extract_labels(record: dict) -> list[tuple[int, int]]:
+    """Sparse (position, class) pairs; tolerates either schema, skips junk."""
+    entries = record.get("labels")
+    if entries is None and {"label_position", "target_class"} <= record.keys():
+        entries = [{"pos": record["label_position"], "class": record["target_class"]}]
+    pairs: list[tuple[int, int]] = []
+    for entry in entries if isinstance(entries, list) else ():
+        if isinstance(entry, dict):
             try:
-                yield json.loads(raw)
-            except json.JSONDecodeError as exc:
-                raise ValueError(
-                    f"invalid JSONL record at {path}:{line_no}: {exc}"
-                ) from exc
+                pairs.append((int(entry["pos"]), int(entry["class"])))
+            except (KeyError, TypeError, ValueError):
+                pass
+    return pairs
 
 
-def _normalize_label_items(record: dict) -> list[tuple[int, int]]:
-    items = record.get("labels")
-    if items is None and "label_position" in record and "target_class" in record:
-        items = [{"pos": record["label_position"], "class": record["target_class"]}]
-    if not isinstance(items, list):
-        return []
-    out: list[tuple[int, int]] = []
-    for item in items:
-        if not isinstance(item, dict):
-            continue
-        try:
-            out.append((int(item["pos"]), int(item["class"])))
-        except (KeyError, TypeError, ValueError):
-            continue
-    return out
+def _extract_ids(record: dict) -> list[int] | None:
+    raw = record.get("ids")
+    if not isinstance(raw, list) or not raw:
+        return None
+    try:
+        return [int(t) for t in raw]
+    except (TypeError, ValueError):
+        return None
 
 
 class GeneratedTerminationReplayDataset:
-    """Fixed-length generated contexts with sparse termination-head labels."""
+    """Dense (N, block_size) x/label matrices built from a replay JSONL."""
 
     def __init__(
         self,
@@ -70,58 +83,63 @@ class GeneratedTerminationReplayDataset:
         if not self.path.exists():
             raise FileNotFoundError(f"replay dataset not found: {self.path}")
 
-        records: list[tuple[list[int], list[tuple[int, int]]]] = []
-        for record in _iter_jsonl(self.path):
-            raw_ids = record.get("ids")
-            if not isinstance(raw_ids, list):
-                continue
-            try:
-                ids = [int(x) for x in raw_ids]
-            except (TypeError, ValueError):
-                continue
-            if not ids:
-                continue
-            label_items = _normalize_label_items(record)
-            if not label_items:
-                continue
-            offset = max(0, len(ids) - self.block_size)
-            clipped_len = min(len(ids), self.block_size)
-            valid = [
-                (pos - offset, cls)
-                for pos, cls in label_items
-                if offset <= pos < offset + clipped_len
-            ]
-            if valid:
-                records.append((ids, valid))
-        if not records:
+        rows_x: list[np.ndarray] = []
+        rows_y: list[np.ndarray] = []
+        with self.path.open() as fh:
+            for lineno, raw in enumerate(fh, start=1):
+                record = _parse_line(raw, f"{self.path}:{lineno}")
+                if record is None:
+                    continue
+                row = self._materialize(record)
+                if row is not None:
+                    rows_x.append(row[0])
+                    rows_y.append(row[1])
+        if not rows_x:
             raise ValueError(f"replay dataset has no usable records: {self.path}")
-        self.records = records
+        self.x = np.stack(rows_x)
+        self.y = np.stack(rows_y)
+
+    def _materialize(self, record: dict) -> tuple[np.ndarray, np.ndarray] | None:
+        """One record → (x_row, y_row), or None when nothing supervises it."""
+        ids = _extract_ids(record)
+        if ids is None:
+            return None
+        pairs = _extract_labels(record)
+        if not pairs:
+            return None
+        clip_start = max(0, len(ids) - self.block_size)
+        kept = ids[clip_start:]
+        y_row = np.full(self.block_size, self.ignore_index, dtype=np.int32)
+        any_label = False
+        for pos, cls in pairs:
+            shifted = pos - clip_start
+            if 0 <= shifted < len(kept):
+                y_row[shifted] = cls
+                any_label = True
+        if not any_label:
+            return None
+        x_row = np.full(self.block_size, self.pad_id, dtype=np.int32)
+        x_row[: len(kept)] = kept
+        return x_row, y_row
 
     def __len__(self) -> int:
-        return len(self.records)
+        return self.x.shape[0]
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
-        ids, labels = self.records[idx]
-        ids = ids[-self.block_size :]
-        x = np.full((self.block_size,), self.pad_id, dtype=np.int32)
-        y = np.full((self.block_size,), self.ignore_index, dtype=np.int32)
-        x[: len(ids)] = np.asarray(ids, dtype=np.int32)
-        for pos, cls in labels:
-            if 0 <= pos < len(ids):
-                y[pos] = int(cls)
-        return x, y
+        return self.x[idx], self.y[idx]
 
     def batch(self, indices) -> tuple[np.ndarray, np.ndarray]:
-        xs, ys = zip(*(self[int(i)] for i in indices))
-        return np.stack(xs), np.stack(ys)
+        sel = np.asarray(indices, dtype=np.int64)
+        return self.x[sel], self.y[sel]
 
     def batches(self, batch_size: int, *, seed: int = 0):
-        """Endless shuffled batch iterator (replay loaders cycle)."""
+        """Endless shuffled full-batch iterator (replay loaders cycle)."""
         rng = np.random.default_rng(seed)
+        n = len(self)
         while True:
-            order = rng.permutation(len(self))
-            for start in range(0, len(order) - batch_size + 1, batch_size):
-                yield self.batch(order[start : start + batch_size])
+            order = rng.permutation(n)
+            for lo in range(0, n - batch_size + 1, batch_size):
+                yield self.batch(order[lo : lo + batch_size])
 
 
-__all__ = ["GeneratedTerminationReplayDataset", "IGNORE_INDEX"]
+__all__ = ["GeneratedTerminationReplayDataset", "IGNORE_INDEX", "ReplayFormatError"]

@@ -1,8 +1,9 @@
 """Sequence-diversity metrics for generated designs.
 
-Parity: reference ``src/eval/diversity.py`` — sampled average pairwise
-identity, k-mer diversity over the 20^k amino-acid space, per-sequence GC
-content.
+Behavioral spec (reference ``src/eval/diversity.py``): sampled average
+pairwise identity over min-length prefixes, k-mer coverage of the 20^k
+amino-acid space, and per-sequence GC fraction. Implemented vectorized over
+byte arrays rather than per-character Python loops.
 """
 
 from __future__ import annotations
@@ -11,46 +12,53 @@ import random
 
 import numpy as np
 
+AMINO_ALPHABET_SIZE = 20
+
+
+def _as_bytes(seq: str) -> np.ndarray:
+    return np.frombuffer(seq.encode("ascii", errors="replace"), dtype=np.uint8)
+
 
 def pairwise_identity(seqs: list[str], max_pairs: int = 500, seed: int | None = None) -> float:
-    """Average pairwise identity (fraction identical positions, min-length)."""
-    if len(seqs) < 2:
+    """Mean fraction of identical positions over sampled sequence pairs.
+
+    Each pair is compared over its shorter member's length; zero-length
+    pairs are dropped. With more than ``max_pairs`` candidate pairs, a
+    uniform sample (seedable) is scored instead of the full quadratic set.
+    """
+    n = len(seqs)
+    if n < 2:
         return 1.0
-    pairs = [
-        (seqs[i], seqs[j]) for i in range(len(seqs)) for j in range(i + 1, len(seqs))
-    ]
-    if len(pairs) > max_pairs:
-        rng = random.Random(seed)
-        pairs = rng.sample(pairs, max_pairs)
-    identities = []
-    for a, b in pairs:
-        min_len = min(len(a), len(b))
-        if min_len == 0:
-            continue
-        matches = sum(x == y for x, y in zip(a[:min_len], b[:min_len]))
-        identities.append(matches / min_len)
-    return float(np.mean(identities)) if identities else 0.0
+    all_pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    if len(all_pairs) > max_pairs:
+        all_pairs = random.Random(seed).sample(all_pairs, max_pairs)
+    encoded = [_as_bytes(s) for s in seqs]
+    scores = []
+    for i, j in all_pairs:
+        a, b = encoded[i], encoded[j]
+        m = min(a.size, b.size)
+        if m:
+            scores.append(float(np.count_nonzero(a[:m] == b[:m])) / m)
+    return float(np.mean(scores)) if scores else 0.0
 
 
 def kmer_diversity(seqs: list[str], k: int = 3) -> float:
-    """Fraction of possible amino-acid k-mers observed."""
-    observed = set()
+    """Observed distinct k-mers as a fraction of the 20^k amino-acid space."""
+    seen: set[str] = set()
     for seq in seqs:
-        for i in range(len(seq) - k + 1):
-            observed.add(seq[i : i + k])
-    return len(observed) / (20**k)
+        seen.update(seq[i : i + k] for i in range(len(seq) - k + 1))
+    return len(seen) / float(AMINO_ALPHABET_SIZE**k)
 
 
 def gc_content(codon_seqs: list[list[str]]) -> list[float]:
-    """GC fraction per codon sequence."""
-    results = []
+    """G+C fraction of each codon list's concatenated DNA (0.0 if empty)."""
+    out: list[float] = []
     for codons in codon_seqs:
-        dna = "".join(codons)
-        if not dna:
-            results.append(0.0)
-            continue
-        results.append(sum(1 for c in dna.upper() if c in "GC") / len(dna))
-    return results
+        joined = "".join(codons).upper()
+        out.append(
+            (joined.count("G") + joined.count("C")) / len(joined) if joined else 0.0
+        )
+    return out
 
 
-__all__ = ["gc_content", "kmer_diversity", "pairwise_identity"]
+__all__ = ["AMINO_ALPHABET_SIZE", "gc_content", "kmer_diversity", "pairwise_identity"]
