@@ -33,6 +33,11 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--run_root", default="runs")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dataset_manifest", default=None,
+                    help="frozen dataset manifest to bind this evaluation to")
+    ap.add_argument("--require_scientific_valid", action="store_true",
+                    help="fail unless the manifest is marked scientific_valid "
+                         "and matches the checkpoint's dataset id")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -45,6 +50,30 @@ def main(argv=None) -> int:
     run_dir = resolve_run_dir(args.run_id, args.run_root)
     params, cfg, itos, stoi = load_codon_model(run_dir, args.checkpoint)
     cfg = cfg.replace(dropout=0.0)
+
+    provenance_block = None
+    if args.dataset_manifest or args.require_scientific_valid:
+        from genomics_lm_tpu.evals.playground import load_codon_checkpoint
+        from genomics_lm_tpu.evals.provenance import (
+            EvaluationProvenanceError,
+            bind_checkpoint_dataset,
+            bind_dataset_manifest,
+        )
+
+        if not args.dataset_manifest:
+            raise EvaluationProvenanceError(
+                "--require_scientific_valid needs --dataset_manifest"
+            )
+        _, manifest_prov = bind_dataset_manifest(
+            args.dataset_manifest,
+            expected_artifacts={"test_tokens": args.test_npz},
+            require_scientific=args.require_scientific_valid,
+        )
+        ckpt_cfg = dict(load_codon_checkpoint(run_dir, args.checkpoint).get("cfg", {}))
+        provenance_block = {
+            "dataset_manifest": manifest_prov,
+            "checkpoint_dataset": bind_checkpoint_dataset(ckpt_cfg, manifest_prov),
+        }
 
     report = {
         "run_id": run_dir.name,
@@ -84,6 +113,8 @@ def main(argv=None) -> int:
         report["context_ablation"] = context_ablation(
             params, cfg, args.test_npz, batch_size=args.batch_size
         )
+    if provenance_block is not None:
+        report["provenance"] = provenance_block
 
     out_path = Path(args.out) if args.out else run_dir / "scores" / "test_evaluation.json"
     out_path.parent.mkdir(parents=True, exist_ok=True)

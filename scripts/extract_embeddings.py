@@ -61,6 +61,10 @@ def main(argv=None) -> int:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--run_root", default="runs")
+    ap.add_argument("--dataset_manifest", default=None,
+                    help="frozen dataset manifest to bind this extraction to")
+    ap.add_argument("--require_scientific_valid", action="store_true",
+                    help="fail unless the manifest is marked scientific_valid")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -70,7 +74,11 @@ def main(argv=None) -> int:
         extraction_provenance,
         ids_from_dna,
     )
-    from genomics_lm_tpu.evals.playground import load_codon_model, resolve_checkpoint
+    from genomics_lm_tpu.evals.playground import (
+        load_codon_checkpoint,
+        load_codon_model,
+        resolve_checkpoint,
+    )
 
     run_dir = resolve_run_dir(args.run_id, args.run_root)
     params, cfg, itos, stoi = load_codon_model(run_dir, args.checkpoint)
@@ -90,6 +98,28 @@ def main(argv=None) -> int:
         pooling=args.pooling,
         n_sequences=len(seqs),
     )
+    # forward_hidden is the parity-verified canonical causal API
+    # (tests/test_torch_parity.py::TestDecodeParity), so extractions made
+    # through it carry the causal_verified status.
+    prov["validation_status"] = "causal_verified"
+    if args.dataset_manifest or args.require_scientific_valid:
+        from genomics_lm_tpu.evals.provenance import (
+            EvaluationProvenanceError,
+            bind_checkpoint_dataset,
+            bind_dataset_manifest,
+        )
+
+        if not args.dataset_manifest:
+            raise EvaluationProvenanceError(
+                "--require_scientific_valid needs --dataset_manifest"
+            )
+        _, manifest_prov = bind_dataset_manifest(
+            args.dataset_manifest,
+            require_scientific=args.require_scientific_valid,
+        )
+        ckpt_cfg = dict(load_codon_checkpoint(run_dir, args.checkpoint).get("cfg", {}))
+        prov["dataset_manifest"] = manifest_prov
+        prov["checkpoint_dataset"] = bind_checkpoint_dataset(ckpt_cfg, manifest_prov)
     out_path.with_suffix(".provenance.json").write_text(json.dumps(prov, indent=2) + "\n")
     print(f"[extract] wrote {X.shape} embeddings → {out_path}")
     return 0

@@ -117,6 +117,15 @@ def main(argv=None) -> int:
     if protocol not in PROTOCOLS:
         raise ValueError(f"protocol must be one of {PROTOCOLS}")
 
+    # Embedding-pair binding: verified mode fails closed on any dataset /
+    # model / vocabulary mismatch between the two packs (evals.provenance).
+    from genomics_lm_tpu.evals.provenance import bind_embedding_pair
+
+    provenance = bind_embedding_pair(
+        cfg["train_npz"], cfg["test_npz"],
+        require_verified=bool(cfg.get("require_verified_provenance", False)),
+    )
+
     X_tr, y_tr, ids_tr, seq_tr = load_pack(cfg["train_npz"])
     X_te, y_te, ids_te, seq_te = load_pack(cfg["test_npz"])
     if y_tr is None:
@@ -142,6 +151,10 @@ def main(argv=None) -> int:
         "test_metrics": test_metrics,
         "n_train": int(len(y_tr)),
         "n_test": int(len(y_te)),
+        "provenance": {
+            "train": provenance["train"]["status"],
+            "test": provenance["test"]["status"],
+        },
     }
     (out_dir / "metrics.json").write_text(json.dumps(report, indent=2) + "\n")
     if kind != "mlp":
