@@ -76,3 +76,48 @@ __all__ = [
     "smooth_l1_nan_masked",
     "sqrt_inverse_frequency_weights",
 ]
+
+
+# Catalytic motifs whose residues the critic's attention should cover
+# (reference train_multi_task.py:580-605; "DXD" is the literal string).
+CATALYTIC_MOTIFS = ("GDSGG", "HIGH", "KMSKS", "DXD")
+
+
+def motif_position_mask(
+    sequences, width: int, *, motifs=CATALYTIC_MOTIFS, token_offset: int = 1
+) -> np.ndarray:
+    """(B, width) float mask of token positions inside known motifs.
+
+    Host-side: motif search is string matching over the raw sequences; the
+    mask feeds the jitted saliency term as data. ``token_offset`` accounts
+    for the BOS token prepended during tokenization (residue i → token i+1).
+    Only each motif's first occurrence counts, matching the reference.
+    """
+    mask = np.zeros((len(sequences), width), np.float32)
+    for row, seq in enumerate(sequences):
+        for motif in motifs:
+            hit = seq.find(motif)
+            if hit < 0:
+                continue
+            lo = hit + token_offset
+            hi = min(lo + len(motif), width)
+            if lo < width:
+                mask[row, lo:hi] = 1.0
+    return mask
+
+
+def saliency_regularizer(attn_weights, motif_mask):
+    """−log of the attention mass on motif positions, averaged over the
+    sequences that contain any motif (0.0 when none do).
+
+    Gradients flow only through ``attn_weights`` at motif rows — the mask
+    is constant data — so non-motif sequences are untouched.
+    """
+    attn_weights = attn_weights.astype(jnp.float32)
+    motif_mask = motif_mask.astype(jnp.float32)
+    has_motif = motif_mask.sum(axis=1) > 0
+    mass = (attn_weights * motif_mask).sum(axis=1)
+    per_seq = -jnp.log(mass + 1e-8)
+    count = has_motif.sum()
+    total = jnp.where(has_motif, per_seq, 0.0).sum()
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)

@@ -166,6 +166,9 @@ def train(
     grad_accum = int(cfg.get("grad_accum_steps", 1))
     task_loss_weights = dict(cfg.get("task_loss_weights") or {})
 
+    saliency_weight = float(cfg.get("saliency_regularizer_weight", 0.0))
+    use_saliency = saliency_weight > 0.0 and model_cfg.pooling == "attention"
+
     def batch_losses(params, batch, rng, train_mode):
         out = multitask_forward(
             params, model_cfg,
@@ -174,6 +177,12 @@ def train(
         )
         losses = {}
         total = jnp.float32(0.0)
+        if use_saliency and "motif_mask" in batch and "attention_weights" in out:
+            # opt-in legacy motif supervision (ref train_multi_task.py:580-605):
+            # pull attention-pool mass onto catalytic-motif residues
+            sal = PL.saliency_regularizer(out["attention_weights"], batch["motif_mask"])
+            losses["saliency"] = sal
+            total += saliency_weight * sal
         for task, label_key in (("family", "family"), ("function", "function")):
             if task in out:
                 loss, _ = PL.classification_loss(
@@ -211,9 +220,16 @@ def train(
         return batch_losses(params, batch, None, False)
 
     def to_device(batch):
-        return {
+        device_batch = {
             k: jnp.asarray(v) for k, v in batch.items() if k != "sequence"
         }
+        if use_saliency:
+            device_batch["motif_mask"] = jnp.asarray(
+                PL.motif_position_mask(
+                    batch["sequence"], batch["input_ids"].shape[1]
+                )
+            )
+        return device_batch
 
     wall_timer = WallTimer(cfg.get("max_time_minutes"))
     epochs = int(cfg["epochs"])

@@ -285,3 +285,66 @@ class TestCriticScoring:
         fn = make_score_fn(params, cfg, TOK, target_task="ebm", ebm_params=ebm)
         e = fn(["MKV", "MKVL"])
         assert e.shape == (2,)
+
+
+class TestSaliencyRegularizer:
+    def test_motif_mask_offsets_and_truncation(self):
+        from genomics_lm_tpu.protein import losses as PL
+
+        seqs = ["AAGDSGGAA", "HIGHKMSKS", "AAAA"]
+        mask = PL.motif_position_mask(seqs, 12)
+        # GDSGG at residues 2..6 → tokens 3..7 (BOS offset)
+        assert mask[0, 3:8].sum() == 5 and mask[0].sum() == 5
+        # HIGH tokens 1..4, KMSKS tokens 5..9
+        assert mask[1, 1:5].sum() == 4 and mask[1, 5:10].sum() == 5
+        # no motif → empty row
+        assert mask[2].sum() == 0
+        # truncation: motif falls past the width
+        short = PL.motif_position_mask(["AAAAAAHIGH"], 9)
+        assert short[0, 7:9].sum() == 2 and short[0].sum() == 2
+
+    def test_gradients_only_at_motif_positions(self):
+        """The regularizer's gradient is nonzero exactly on motif positions
+        of motif-bearing rows (reference train_multi_task.py:580-605)."""
+        from genomics_lm_tpu.protein import losses as PL
+
+        seqs = ["AAGDSGGAA", "AAAA"]
+        T = 12
+        mask = PL.motif_position_mask(seqs, T)
+        w = jnp.asarray(np.random.default_rng(0).uniform(0.01, 1.0, (2, T)),
+                        jnp.float32)
+        w = w / w.sum(axis=1, keepdims=True)
+        grad = jax.grad(
+            lambda a: PL.saliency_regularizer(a, jnp.asarray(mask))
+        )(w)
+        grad = np.asarray(grad)
+        nonzero = np.abs(grad) > 1e-12
+        np.testing.assert_array_equal(nonzero, np.asarray(mask) > 0)
+        # no motif anywhere → zero loss and zero grad
+        empty = PL.motif_position_mask(["AAAA", "CCCC"], T)
+        val = float(PL.saliency_regularizer(w, jnp.asarray(empty)))
+        assert val == 0.0
+
+    def test_trainer_applies_saliency(self, tmp_path):
+        from genomics_lm_tpu.protein.train_multi_task import train
+
+        rng = np.random.default_rng(1)
+        aas = "ARNDCQEGHILKMFPSTWYV"
+        records = [
+            {
+                "sequence": "AA" + "GDSGG" + "".join(rng.choice(list(aas), 4)),
+                "pfam_id": int(rng.integers(0, 3)),
+            }
+            for _ in range(8)
+        ]
+        write_jsonl(tmp_path / "train.jsonl", records)
+        write_jsonl(tmp_path / "val.jsonl", records[:4])
+        cfg = dict(
+            train_data=str(tmp_path / "train.jsonl"),
+            val_data=str(tmp_path / "val.jsonl"),
+            n_layer=1, n_head=2, n_embd=16, block_size=32, dropout=0.0,
+            batch_size=4, epochs=1, lr=1e-3, run_id="critic-saliency",
+            pooling="attention", saliency_regularizer_weight=0.5,
+        )
+        meta = train(cfg, run_root=str(tmp_path / "runs"))
+        assert meta["status"] == "completed"
