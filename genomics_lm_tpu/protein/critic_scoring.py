@@ -85,4 +85,95 @@ def make_score_fn(
     return score_fn
 
 
-__all__ = ["batch_score_critic", "make_score_fn"]
+
+
+
+def load_score_fn(
+    critic_ckpt,
+    *,
+    ebm_ckpt=None,
+    target_task: str = "stability",
+    target_class_idx: int | None = None,
+):
+    """Build a ``score_fn`` straight from checkpoint paths (CLI glue).
+
+    Returns ``(score_fn, critic_bundle)`` where the bundle carries the
+    loaded params/config/tokenizer for callers that also need direct
+    critic access (e.g. per-candidate task probabilities).
+    """
+    import jax.numpy as jnp
+
+    from genomics_lm_tpu.tokenizers.protein import ProteinTokenizer
+    from genomics_lm_tpu.training.checkpoints import load_checkpoint
+
+    payload = load_checkpoint(critic_ckpt)
+    params = jax.tree.map(jnp.asarray, payload["model"])
+    cfg_map = payload.get("cfg", {})
+    cfg = ProteinClassifierConfig(
+        vocab_size=28,
+        n_layer=int(cfg_map.get("n_layer", 4)),
+        n_head=int(cfg_map.get("n_head", 4)),
+        n_embd=int(cfg_map.get("n_embd", 256)),
+        block_size=int(cfg_map.get("block_size", 512)),
+        dropout=0.0,
+        pooling=str(cfg_map.get("pooling", "mean")),
+    )
+    ebm_params = None
+    if ebm_ckpt:
+        ebm_params = jax.tree.map(jnp.asarray, load_checkpoint(ebm_ckpt)["model"])
+    tokenizer = ProteinTokenizer()
+    score_fn = make_score_fn(
+        params, cfg, tokenizer,
+        target_task="ebm" if ebm_params is not None else target_task,
+        target_class_idx=target_class_idx,
+        ebm_params=ebm_params,
+    )
+    bundle = {
+        "params": params,
+        "cfg": cfg,
+        "tokenizer": tokenizer,
+        "task_dims": payload.get("task_dims", {}),
+        "ebm_params": ebm_params,
+    }
+    return score_fn, bundle
+
+
+def score_candidate_tasks(bundle: dict, aa_seq: str) -> dict:
+    """Per-task critic readout for one candidate (reference
+    ``generative_design_loop.py score_with_critic``): stability probability
+    and prediction, family/function top-1/top-5 ids + confidences + entropy.
+    ``bundle`` comes from ``load_score_fn``."""
+    if not aa_seq:
+        return {}
+    ids, mask = _tokenize_batch(bundle["tokenizer"], [aa_seq])
+    logits_dict = multitask_forward(bundle["params"], bundle["cfg"], ids, mask)
+    task_dims = bundle.get("task_dims") or {}
+    scores: dict = {}
+
+    if "stability" in logits_dict:
+        stab = np.asarray(jax.nn.softmax(logits_dict["stability"][0]))
+        scores["stability_prob"] = float(stab[-1])
+        scores["stability_pred"] = int(stab.argmax())
+
+    for task in ("family", "function"):
+        if task not in logits_dict:
+            continue
+        probs = np.asarray(jax.nn.softmax(logits_dict[task][0]))
+        top = min(5, int(task_dims.get(task, probs.size)))
+        order = np.argsort(probs)[::-1][:top]
+        scores[f"{task}_top1"] = int(order[0])
+        scores[f"{task}_top1_conf"] = float(probs[order[0]])
+        scores[f"{task}_top5"] = [int(i) for i in order]
+        scores[f"{task}_top5_conf"] = [float(probs[i]) for i in order]
+        scores[f"{task}_entropy"] = float(
+            -(probs * np.log(probs + 1e-10)).sum()
+        )
+
+    if "attention_weights" in logits_dict:
+        scores["attention_weights"] = np.asarray(
+            logits_dict["attention_weights"][0]
+        ).tolist()
+    return scores
+
+
+__all__ = ["batch_score_critic", "load_score_fn", "make_score_fn", "score_candidate_tasks"]
