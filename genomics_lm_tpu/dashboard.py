@@ -144,6 +144,48 @@ def saliency_data(run_dir: str | Path, dna: str) -> dict:
     return {"tokens": [itos[i] for i in ids], "saliency": saliency}
 
 
+def shape_profile_data(dna: str) -> dict:
+    """Per-base heuristic DNAshape profile for the playground tab.
+
+    Parity: reference ``scripts/web_dashboard.py:15-50``
+    (``get_theoretical_shape`` pentamer heuristics: minor groove width,
+    roll/bendability, electrostatic potential)."""
+    from genomics_lm_tpu.models.biophysics import get_theoretical_shape
+
+    seq = dna.strip().upper()
+    profile = get_theoretical_shape(seq)
+    return {
+        "positions": list(range(len(seq))),
+        "bases": list(seq),
+        **profile,
+    }
+
+
+def shape_comparison_data(wild_type: str, variant: str) -> dict:
+    """Aligned WT-vs-variant DNAshape profiles (synonymous-shift explorer).
+
+    Parity: the reference playground's "3D DNAshape Physical Profile
+    Comparison" (``web_dashboard.py:899-915``) — per-parameter paired series
+    plus the mean absolute per-base deltas."""
+    wt = shape_profile_data(wild_type)
+    var = shape_profile_data(variant)
+    n = min(len(wt["bases"]), len(var["bases"]))
+    deltas = {}
+    for param in ("MGW", "Roll", "EP"):
+        a = np.asarray(wt[param][:n])
+        b = np.asarray(var[param][:n])
+        deltas[f"mean_abs_delta_{param}"] = float(np.abs(a - b).mean()) if n else 0.0
+    gc = lambda s: (s.count("G") + s.count("C")) / len(s) if s else 0.0  # noqa: E731
+    return {
+        "wild_type": wt,
+        "variant": var,
+        "aligned_length": n,
+        "gc_wild_type": gc(wt["bases"] and "".join(wt["bases"])),
+        "gc_variant": gc(var["bases"] and "".join(var["bases"])),
+        **deltas,
+    }
+
+
 __all__ = [
     "attention_data",
     "embeddings_data",
@@ -152,4 +194,6 @@ __all__ = [
     "run_browser_data",
     "run_details_data",
     "saliency_data",
+    "shape_comparison_data",
+    "shape_profile_data",
 ]

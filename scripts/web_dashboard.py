@@ -37,7 +37,8 @@ def main() -> None:
     run_id = st.sidebar.selectbox("run", run_ids)
     run_dir = Path("runs") / run_id
 
-    tabs = st.tabs(["overview", "curves", "playground", "attention", "saliency"])
+    tabs = st.tabs(["overview", "curves", "playground", "attention",
+                    "saliency", "embeddings"])
 
     with tabs[0]:
         st.dataframe(browser["table"])
@@ -62,6 +63,38 @@ def main() -> None:
             st.json(data.playground_next_codon(run_dir, dna))
         if st.button("generate"):
             st.json(data.playground_generate(run_dir, dna))
+        st.subheader("3D DNAshape physical profile")
+        if st.button("shape profile") and dna:
+            import pandas as pd
+
+            profile = data.shape_profile_data(dna)
+            frame = pd.DataFrame({
+                "Base Position": profile["positions"],
+                "Minor Groove Width (Å)": profile["MGW"],
+                "Roll (Bendability) (°)": profile["Roll"],
+                "Electrostatic Potential (kT/e)": profile["EP"],
+            })
+            st.line_chart(frame, x="Base Position",
+                          y=["Minor Groove Width (Å)",
+                             "Roll (Bendability) (°)",
+                             "Electrostatic Potential (kT/e)"])
+        variant = st.text_input("synonymous variant (optional)", "")
+        if st.button("compare shapes") and dna and variant:
+            import pandas as pd
+
+            comp = data.shape_comparison_data(dna, variant)
+            n = comp["aligned_length"]
+            for param, label in (("MGW", "MGW (Å)"), ("Roll", "Roll (°)"),
+                                 ("EP", "EP (kT/e)")):
+                frame = pd.DataFrame({
+                    "Base Position": list(range(n)),
+                    f"WT {label}": comp["wild_type"][param][:n],
+                    f"Var {label}": comp["variant"][param][:n],
+                })
+                st.line_chart(frame, x="Base Position",
+                              y=[f"WT {label}", f"Var {label}"])
+            st.json({k: v for k, v in comp.items()
+                     if k.startswith(("mean_abs_delta", "gc_"))})
 
     with tabs[3]:
         dna = st.text_input("attention prompt", "ATGAAACCC")
@@ -83,6 +116,23 @@ def main() -> None:
                 pd.DataFrame({"saliency": payload["saliency"]},
                              index=payload["tokens"])
             )
+
+    with tabs[5]:
+        raw = st.text_area("CDS sequences (one per line)",
+                           "ATGAAACCCGGG\nATGTTTGATCTG")
+        if st.button("embed + PCA"):
+            sequences = [s.strip() for s in raw.splitlines() if s.strip()]
+            payload = data.embeddings_data(run_dir, sequences)
+            st.write(f"{payload['embeddings'].shape[0]} sequences × "
+                     f"{payload['embeddings'].shape[1]} dims")
+            if payload["pca"] is not None:
+                import pandas as pd
+
+                frame = pd.DataFrame(payload["pca"], columns=["PC1", "PC2"])
+                frame["sequence"] = sequences[: len(frame)]
+                st.scatter_chart(frame, x="PC1", y="PC2")
+            else:
+                st.info("need ≥2 sequences for PCA")
 
 
 if __name__ == "__main__":

@@ -206,3 +206,23 @@ class TestRemoteBio:
         # deterministic mock branches
         no_met = remote_bio.mock_blast_query("KVLAAG")
         assert no_met["hits"][0]["species"] == "Bacillus subtilis"
+
+
+class TestShapeTabs:
+    def test_shape_profile_data(self):
+        from genomics_lm_tpu.dashboard import shape_profile_data
+
+        payload = shape_profile_data("ATGAAAACCC")
+        assert len(payload["MGW"]) == len(payload["bases"]) == 10
+        assert set(payload) >= {"MGW", "Roll", "EP", "positions", "bases"}
+
+    def test_shape_comparison_synonymous_shift(self):
+        from genomics_lm_tpu.dashboard import shape_comparison_data
+
+        comp = shape_comparison_data("ATGAAAACCC", "ATGAAGACCC")
+        assert comp["aligned_length"] == 10
+        assert comp["mean_abs_delta_MGW"] >= 0.0
+        # identical sequences → zero deltas
+        same = shape_comparison_data("ATGAAA", "ATGAAA")
+        assert same["mean_abs_delta_MGW"] == 0.0
+        assert same["mean_abs_delta_Roll"] == 0.0
