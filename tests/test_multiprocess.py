@@ -1,0 +1,161 @@
+"""Multi-process distributed bring-up, actually brought up (SURVEY §4
+"multi-node without a cluster"): two real OS processes join through a
+loopback coordinator (gloo collectives on CPU), form a 2-device global
+mesh, and run one data-parallel train step over a globally-sharded batch.
+Plus mesh-size-change resume: optimizer state saved under an 8-device
+ZeRO-1 sharding restores onto a 4-device mesh with identical next-step
+metrics vs an unsharded run.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class TestTwoProcessDistributed:
+    def test_dp_step_across_processes(self, tmp_path):
+        port = free_port()
+        nprocs = 2
+        outs = [tmp_path / f"worker{i}.json" for i in range(nprocs)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "multiprocess_worker.py"),
+                 str(i), str(nprocs), str(port), str(outs[i])],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                     "PYTHONPATH": str(REPO)},
+            )
+            for i in range(nprocs)
+        ]
+        for p in procs:
+            try:
+                _, err = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("multi-process workers timed out")
+            assert p.returncode == 0, err[-2000:]
+
+        records = [json.loads(o.read_text()) for o in outs]
+        for r in records:
+            assert r["num_processes"] == nprocs
+            assert r["devices"] == nprocs
+            assert r["applied"] is True
+        # both processes computed the same global step
+        assert records[0]["total_loss_sum"] == records[1]["total_loss_sum"]
+        assert records[0]["param_checksum"] == records[1]["param_checksum"]
+        assert records[0]["nonpad_tokens"] == records[1]["nonpad_tokens"]
+
+        # cross-check against a single-process run of the same global batch
+        single = subprocess.run(
+            [sys.executable, str(REPO / "tests" / "multiprocess_worker.py"),
+             "0", "1", str(free_port()), str(tmp_path / "single.json")],
+            capture_output=True, text=True, timeout=300,
+            env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                 "PYTHONPATH": str(REPO)},
+        )
+        assert single.returncode == 0, single.stderr[-2000:]
+        ref = json.loads((tmp_path / "single.json").read_text())
+        np.testing.assert_allclose(
+            records[0]["total_loss_sum"], ref["total_loss_sum"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            records[0]["param_checksum"], ref["param_checksum"], rtol=1e-5
+        )
+
+
+class TestMeshSizeChangeResume:
+    def _run_steps(self, mesh, params, opt_state, step, batches, key):
+        import jax
+        import jax.numpy as jnp
+
+        from genomics_lm_tpu.parallel.sharding import (
+            batch_sharding,
+            replicated,
+            zero1_opt_state_sharding,
+        )
+
+        rep = replicated(mesh)
+        bs = batch_sharding(mesh, batch_axis_index=1)
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(
+            opt_state, zero1_opt_state_sharding(opt_state, mesh)
+        )
+        metrics = None
+        for batch in batches:
+            sharded = {k: jax.device_put(jnp.asarray(v), bs) for k, v in batch.items()}
+            params, opt_state, metrics = step(
+                params, opt_state, sharded, key, jnp.asarray(1.0)
+            )
+        return params, opt_state, metrics
+
+    def test_zero1_state_restores_across_mesh_sizes(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from jax.sharding import Mesh
+
+        from genomics_lm_tpu.models import codon_gpt
+        from genomics_lm_tpu.models.config import CodonGPTConfig
+        from genomics_lm_tpu.parallel.mesh import make_mesh
+        from genomics_lm_tpu.training.train_step import LossConfig, make_train_step
+
+        assert jax.device_count() >= 8
+
+        cfg = CodonGPTConfig(vocab_size=68, block_size=16, n_layer=1,
+                             n_head=2, n_embd=16, dropout=0.0)
+        params0 = codon_gpt.init(jax.random.key(0), cfg)
+        tx = optax.adamw(1e-3)
+        step = make_train_step(cfg, LossConfig(), tx)
+        key = jax.random.key(1)
+
+        rng = np.random.default_rng(3)
+        mk = lambda: {  # noqa: E731
+            "x": rng.integers(4, 68, (1, 8, 16)).astype(np.int32),
+            "y": rng.integers(4, 68, (1, 8, 16)).astype(np.int32),
+        }
+        warm = [mk() for _ in range(2)]
+        probe = [mk()]
+
+        # phase 1: warm up under the 8-device mesh with ZeRO-1 moments
+        mesh8 = make_mesh()
+        p8, o8, _ = self._run_steps(mesh8, params0, tx.init(params0), step,
+                                    warm, key)
+
+        # "save": host-materialize the sharded state (what checkpoints store)
+        saved_params = jax.tree.map(np.asarray, p8)
+        saved_opt = jax.tree.map(np.asarray, o8)
+
+        # phase 2a: restore onto a 4-device mesh and take the probe step
+        mesh4 = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+        _, _, m4 = self._run_steps(
+            mesh4,
+            jax.tree.map(jnp.asarray, saved_params),
+            jax.tree.map(jnp.asarray, saved_opt),
+            step, probe, key,
+        )
+
+        # phase 2b: same restore, no mesh at all (single device)
+        p1 = jax.tree.map(jnp.asarray, saved_params)
+        o1 = jax.tree.map(jnp.asarray, saved_opt)
+        batch1 = {k: jnp.asarray(v) for k, v in probe[0].items()}
+        _, _, m1 = step(p1, o1, batch1, key, jnp.asarray(1.0))
+
+        np.testing.assert_allclose(
+            float(m4["total_loss_sum"]), float(m1["total_loss_sum"]), rtol=1e-5
+        )
+        assert int(m4["nonpad_tokens"]) == int(m1["nonpad_tokens"])
+        assert bool(m4["applied"]) and bool(m1["applied"])
