@@ -107,12 +107,15 @@ def _aux_heads(params, cfg: CodonGPTConfig, x):
     return aux
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def decode_step(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarray):
+def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarray):
     """Append one token per sequence; returns (logits, new_cache, aux).
 
     ``token``: (B,) int32. Attention masks cached positions by segment id
     and validity (pos < length); the new token always attends to itself.
+
+    Kept undecorated: the scanned generators trace this body directly —
+    a nested-jit call boundary inside ``lax.scan`` blocks XLA's in-place
+    aliasing of the cache carry and reintroduces a full cache copy/step.
     """
     B = token.shape[0]
     length = cache["length"]
@@ -200,6 +203,17 @@ def decode_step(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarray):
     return logits, new_cache, aux
 
 
+# External per-token entry points. The donated variant lets XLA alias the
+# cache in→out (true in-place update, no per-step full-cache copy); callers
+# must discard the passed-in cache afterwards. On relayed/tunneled runtimes
+# donation can force buffer round trips (see docs/ARCHITECTURE.md), so the
+# non-donated variant stays the default.
+decode_step = functools.partial(jax.jit, static_argnums=(1,))(_decode_step_impl)
+decode_step_donated = jax.jit(
+    _decode_step_impl, static_argnums=(1,), donate_argnums=(2,)
+)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 3, 5))
 def generate_tokens(
     params,
@@ -228,7 +242,7 @@ def generate_tokens(
             token = jax.random.categorical(
                 key, logits.astype(jnp.float32) / temperature, axis=-1
             ).astype(jnp.int32)
-        logits, cache, _ = decode_step(params, cfg, cache, token)
+        logits, cache, _ = _decode_step_impl(params, cfg, cache, token)
         return (logits, cache), token
 
     (_, _), tokens = jax.lax.scan(
@@ -267,7 +281,7 @@ def generate_masked_tokens(
             token = jax.random.categorical(
                 key, masked / temperature, axis=-1
             ).astype(jnp.int32)
-        logits, cache, _ = decode_step(params, cfg, cache, token)
+        logits, cache, _ = _decode_step_impl(params, cfg, cache, token)
         return (logits, cache), token
 
     (_, _), tokens = jax.lax.scan(
@@ -364,6 +378,9 @@ def sample_token(
 __all__ = [
     "CachedDecoder",
     "decode_step",
+    "decode_step_donated",
+    "generate_masked_tokens",
+    "generate_tokens",
     "init_cache",
     "next_token_logits",
     "prefill",

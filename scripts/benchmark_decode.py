@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     ap.add_argument("--measure_rounds", type=int, default=3)
     ap.add_argument("--mode", choices=["stepwise", "scan"], default="scan",
                     help="scan = whole generation compiled into one program")
+    ap.add_argument("--donate_cache", action="store_true",
+                    help="stepwise mode: donate the cache buffers so XLA "
+                         "updates them in place (no per-step full-cache copy)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -37,7 +40,11 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from genomics_lm_tpu.generation.decode import decode_step, prefill
+    from genomics_lm_tpu.generation.decode import (
+        decode_step,
+        decode_step_donated,
+        prefill,
+    )
     from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
 
     on_tpu = jax.default_backend() == "tpu"
@@ -67,12 +74,14 @@ def main(argv=None) -> int:
             return generate_tokens(params, cfg, prompt, args.decode_tokens,
                                    key, args.temperature)
     else:
+        step_fn = decode_step_donated if args.donate_cache else decode_step
+
         def run_once(key):
             logits, cache, _ = prefill(params, cfg, prompt)
             for _ in range(args.decode_tokens):
                 key, sub = jax.random.split(key)
                 token = sample(logits, sub)
-                logits, cache, _ = decode_step(params, cfg, cache, token)
+                logits, cache, _ = step_fn(params, cfg, cache, token)
             return logits
 
     # compile + warm
