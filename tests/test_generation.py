@@ -223,3 +223,64 @@ class TestScanGeneration:
         ))
         assert tokens.shape == (4, 16)
         assert allowed[tokens].all()  # every sampled id is in the CDS set
+
+    def test_bucketed_cache_fills_to_boundary(self):
+        """A generation whose horizon exactly fills the bucket stays correct
+        through the final slot (off-by-one guard for bucketed caches)."""
+        import numpy as np
+
+        from genomics_lm_tpu.generation.decode import (
+            cache_bucket,
+            decode_step,
+            generate_tokens,
+            prefill,
+        )
+        from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+
+        import jax.numpy as jnp
+
+        cfg = CodonGPTConfig(vocab_size=68, block_size=512, n_layer=1,
+                             n_head=2, n_embd=32, dropout=0.0, sep_id=3)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        P, N = 100, 28  # horizon 128 = exactly one bucket
+        assert cache_bucket(cfg, P + N) == 128
+        prompt = jnp.asarray(
+            np.random.default_rng(1).integers(4, 68, (2, P)), jnp.int32
+        )
+        bucketed = np.asarray(
+            generate_tokens(params, cfg, prompt, N, jax.random.key(2), 0.0)
+        )
+        # full-block stepwise reference
+        logits, cache, _ = prefill(params, cfg, prompt)
+        manual = []
+        for _ in range(N):
+            token = jnp.argmax(logits, -1).astype(jnp.int32)
+            manual.append(np.asarray(token))
+            logits, cache, _ = decode_step(params, cfg, cache, token)
+        np.testing.assert_array_equal(bucketed, np.stack(manual, axis=1))
+
+    def test_donated_step_matches_plain(self):
+        import numpy as np
+
+        from genomics_lm_tpu.generation.decode import (
+            decode_step,
+            decode_step_donated,
+            prefill,
+        )
+        from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+
+        import jax.numpy as jnp
+
+        cfg = CodonGPTConfig(vocab_size=68, block_size=32, n_layer=1,
+                             n_head=2, n_embd=32, dropout=0.0, sep_id=3)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        prompt = jnp.asarray(
+            np.random.default_rng(2).integers(4, 68, (2, 6)), jnp.int32
+        )
+        logits_a, cache_a, _ = prefill(params, cfg, prompt)
+        logits_b, cache_b, _ = prefill(params, cfg, prompt)
+        token = jnp.argmax(logits_a, -1).astype(jnp.int32)
+        out_a, _, _ = decode_step(params, cfg, cache_a, token)
+        out_b, _, _ = decode_step_donated(params, cfg, cache_b, token)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   atol=1e-6)
