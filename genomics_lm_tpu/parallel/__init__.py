@@ -8,11 +8,14 @@ and ZeRO-1-style sharded optimizer state via ``NamedSharding``.
 
 from genomics_lm_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
+    MODEL_AXIS,
     make_mesh,
     local_device_count,
 )
 from genomics_lm_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    opt_state_sharding,
     replicated,
+    tp_param_sharding,
     zero1_opt_state_sharding,
 )

@@ -14,6 +14,7 @@ import jax
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def local_device_count() -> int:
@@ -63,4 +64,10 @@ def initialize_distributed(coordinator_address: str | None = None, **kwargs) -> 
         pass
 
 
-__all__ = ["DATA_AXIS", "initialize_distributed", "local_device_count", "make_mesh"]
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "initialize_distributed",
+    "local_device_count",
+    "make_mesh",
+]

@@ -380,13 +380,32 @@ def run_training(
             )
         group_sharding = NamedSharding(mesh, P(None, "data", None))
         rep = NamedSharding(mesh, P())
-        params = jax.device_put(params, rep)
-        from genomics_lm_tpu.parallel.sharding import zero1_opt_state_sharding
+        from genomics_lm_tpu.parallel.sharding import (
+            opt_state_sharding,
+            tp_param_sharding,
+            zero1_opt_state_sharding,
+        )
 
-        if bool(cfg.get("shard_optimizer_state", False)):
-            opt_state = jax.device_put(opt_state, zero1_opt_state_sharding(opt_state, mesh))
+        tensor_parallel = mesh.shape.get("model", 1) > 1
+        if tensor_parallel:
+            # Megatron-style column/row weight splits over the model axis;
+            # GSPMD inserts the attention-proj / MLP-down all-reduces.
+            param_sharding = tp_param_sharding(params, mesh)
+            params = jax.device_put(params, param_sharding)
+            opt_state = jax.device_put(
+                opt_state,
+                opt_state_sharding(
+                    opt_state, mesh, tp_axis="model",
+                    zero1=bool(cfg.get("shard_optimizer_state", False)),
+                ),
+            )
         else:
-            opt_state = jax.device_put(opt_state, rep)
+            param_sharding = rep
+            params = jax.device_put(params, rep)
+            if bool(cfg.get("shard_optimizer_state", False)):
+                opt_state = jax.device_put(opt_state, zero1_opt_state_sharding(opt_state, mesh))
+            else:
+                opt_state = jax.device_put(opt_state, rep)
 
         def put_batch(arr):  # noqa: F811
             return jax.device_put(jnp.asarray(arr), group_sharding)
@@ -421,7 +440,17 @@ def run_training(
             [jnp.asarray(x) for x in jax.tree.leaves(payload["optimizer"])],
         )
         if mesh is not None:
-            params = jax.device_put(params, rep)
+            params = jax.device_put(params, param_sharding)
+            if tensor_parallel:
+                opt_state = jax.device_put(
+                    opt_state,
+                    opt_state_sharding(
+                        opt_state, mesh, tp_axis="model",
+                        zero1=bool(cfg.get("shard_optimizer_state", False)),
+                    ),
+                )
+            elif bool(cfg.get("shard_optimizer_state", False)):
+                opt_state = jax.device_put(opt_state, zero1_opt_state_sharding(opt_state, mesh))
         step = int(payload["step"])
         start_epoch = int(payload["run_progress"]["completed_epochs"])
         best = float(payload.get("best_val", float("inf")))

@@ -13,6 +13,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _shared  # noqa: F401,E402  (repo bootstrap + JAX_PLATFORMS env restore)
 
 
 def main(argv=None) -> int:
@@ -28,7 +30,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max_time_minutes", type=float, default=None)
     ap.add_argument("--run_root", default="runs")
     ap.add_argument("--mesh_devices", type=int, default=None,
-                    help="data-parallel device count (default: all local devices)")
+                    help="total mesh device count (default: all local devices)")
+    ap.add_argument("--tensor_parallel", type=int, default=None,
+                    help="model-axis size; devices form a (data, model) mesh "
+                         "with Megatron-style weight sharding")
     args = ap.parse_args(argv)
 
     from genomics_lm_tpu.training.config import load_yaml_config
@@ -52,10 +57,17 @@ def main(argv=None) -> int:
 
     mesh = None
     n_mesh = args.mesh_devices or cfg.get("mesh_devices")
-    if n_mesh:
+    tp = args.tensor_parallel or cfg.get("tensor_parallel")
+    if n_mesh or tp:
         from genomics_lm_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(int(n_mesh))
+        if tp and int(tp) > 1:
+            mesh = make_mesh(
+                int(n_mesh) if n_mesh else None,
+                axes={"data": -1, "model": int(tp)},
+            )
+        else:
+            mesh = make_mesh(int(n_mesh))
 
     run_training(
         cfg,

@@ -119,6 +119,105 @@ class TestZero1:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestTensorParallel:
+    """Megatron-style column/row weight sharding over a (data, model) mesh."""
+
+    def test_spec_rules(self):
+        from genomics_lm_tpu.parallel.sharding import tp_param_sharding
+
+        mesh = make_mesh(axes={"data": 2, "model": 4})
+        cfg = tiny_cfg(n_embd=32, n_head=4)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        sh = tp_param_sharding(params, mesh)
+        attn = sh["blocks"]["attn"]
+        # column-parallel: QKV shard fan-out (weights and biases)
+        assert attn["query"]["w"].spec == P(None, None, "model")
+        assert attn["query"]["b"].spec == P(None, "model")
+        assert attn["key"]["w"].spec == P(None, None, "model")
+        # row-parallel: output proj shards fan-in, bias replicated
+        assert attn["proj"]["w"].spec == P(None, "model", None)
+        assert attn["proj"]["b"].spec == P()
+        mlp = sh["blocks"]["mlp"]
+        assert mlp["fc"]["w"].spec == P(None, None, "model")
+        assert mlp["proj"]["w"].spec == P(None, "model", None)
+        # small/global leaves replicate
+        assert sh["tok_emb"].spec == P()
+        assert sh["ln_f"]["scale"].spec == P()
+
+    def test_indivisible_dims_fall_back_to_replication(self):
+        from genomics_lm_tpu.parallel.sharding import tp_param_sharding
+
+        mesh = make_mesh(axes={"data": 2, "model": 4})
+        cfg = tiny_cfg(n_embd=16, n_head=2, use_swiglu=True)  # swiglu hidden 42
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        sh = tp_param_sharding(params, mesh)
+        mlp = sh["blocks"]["mlp"]
+        hidden = params["blocks"]["mlp"]["w_gate"]["w"].shape[-1]
+        if hidden % 4:
+            assert mlp["w_gate"]["w"].spec == P()
+            assert mlp["w_down"]["w"].spec == P()
+
+    def test_tp_step_matches_single_device(self):
+        from genomics_lm_tpu.parallel.sharding import (
+            opt_state_sharding,
+            tp_param_sharding,
+        )
+
+        cfg = tiny_cfg(n_embd=64, n_head=4, fused_qkv=True)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(params)
+        step = make_train_step(cfg, LossConfig(), tx)
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": jnp.asarray(rng.integers(4, 68, (2, 8, 16)), jnp.int32),
+            "y": jnp.asarray(rng.integers(4, 68, (2, 8, 16)), jnp.int32),
+        }
+        key = jax.random.key(1)
+        one = jnp.asarray(1.0)
+        p_ref, _, m_ref = step(params, opt_state, batch, key, one)
+
+        mesh = make_mesh(axes={"data": 2, "model": 4})
+        params_tp = jax.device_put(params, tp_param_sharding(params, mesh))
+        opt_tp = jax.device_put(
+            opt_state, opt_state_sharding(opt_state, mesh, tp_axis="model", zero1=True)
+        )
+        batch_tp = {
+            k: jax.device_put(v, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+            for k, v in batch.items()
+        }
+        p_tp, _, m_tp = step(params_tp, opt_tp, batch_tp, key, one)
+
+        np.testing.assert_allclose(
+            float(m_ref["total_loss_sum"]), float(m_tp["total_loss_sum"]), rtol=1e-5
+        )
+        for ref_leaf, tp_leaf in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_tp)):
+            np.testing.assert_allclose(
+                np.asarray(ref_leaf), np.asarray(tp_leaf), atol=2e-4
+            )
+
+    def test_opt_state_tp_plus_zero1_overlay(self):
+        from genomics_lm_tpu.parallel.sharding import opt_state_sharding
+
+        mesh = make_mesh(axes={"data": 2, "model": 4})
+        cfg = tiny_cfg(n_embd=32, n_head=4)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(params)
+        sh = opt_state_sharding(opt_state, mesh, tp_axis="model", zero1=True)
+        flat = jax.tree_util.tree_leaves_with_path(
+            sh, is_leaf=lambda x: isinstance(x, NamedSharding)
+        )
+        by_path = {jax.tree_util.keystr(p): s.spec for p, s in flat}
+        qw = next(v for k, v in by_path.items() if "query" in k and "['w']" in k)
+        # TP sharding preserved on moments, ZeRO-1 'data' added on a free dim
+        assert "model" in str(qw) and "data" in str(qw)
+        # placing the state must keep values intact
+        placed = jax.device_put(opt_state, sh)
+        for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(placed)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestPsumSemantics:
     def test_shard_map_psum_grad_matches_global(self):
         from jax.experimental.shard_map import shard_map
