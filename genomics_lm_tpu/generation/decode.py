@@ -50,25 +50,44 @@ def cache_bucket(cfg: CodonGPTConfig, horizon: int) -> int:
     return min(cfg.block_size, rounded)
 
 
-def init_cache(cfg: CodonGPTConfig, batch: int = 1, cache_size: int | None = None) -> dict:
-    """Empty KV cache for ``batch`` sequences (``cache_size`` ≤ block_size)."""
+def init_cache(
+    cfg: CodonGPTConfig,
+    batch: int = 1,
+    cache_size: int | None = None,
+    kv_quant: bool = False,
+) -> dict:
+    """Empty KV cache for ``batch`` sequences (``cache_size`` ≤ block_size).
+
+    With ``kv_quant`` the cache stores int8 K/V plus per-vector f32 scales
+    (``ops/quant.py``) — half the HBM traffic per decode step; the scales
+    factor out of both attention contractions so the int8 cache is read
+    raw, never dequantized into a full-size temporary.
+    """
     S = cfg.block_size if cache_size is None else int(cache_size)
     shape = (cfg.n_layer, batch, cfg.kv_heads, S, cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, cfg.dtype),
-        "v": jnp.zeros(shape, cfg.dtype),
+    cache = {
+        "k": jnp.zeros(shape, jnp.int8 if kv_quant else cfg.dtype),
+        "v": jnp.zeros(shape, jnp.int8 if kv_quant else cfg.dtype),
         "seg": jnp.zeros((batch, S), jnp.int32),
         "length": jnp.zeros((), jnp.int32),
         "seg_count": jnp.zeros((batch,), jnp.int32),
     }
+    if kv_quant:
+        cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+    return cache
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4))
 def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
-            cache_size: int | None = None) -> tuple[jnp.ndarray, dict, dict]:
-    """Full forward over the prompt, returning (last logits, cache, aux)."""
+            cache_size: int | None = None,
+            kv_quant: bool = False) -> tuple[jnp.ndarray, dict, dict]:
+    """Full forward over the prompt, returning (last logits, cache, aux).
+
+    Prompt attention always runs full precision; with ``kv_quant`` the K/V
+    written into the cache are int8 + per-vector scales."""
     B, T = idx.shape
-    cache = init_cache(cfg, B, cache_size)
+    cache = init_cache(cfg, B, cache_size, kv_quant)
     seg = jnp.cumsum((idx == cfg.sep_id).astype(jnp.int32), axis=1) if cfg.sep_id is not None else jnp.zeros((B, T), jnp.int32)
 
     x = _embed(params, cfg, idx, None, train=False, rng=None)
@@ -103,8 +122,16 @@ def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
     logits = _lm_logits(params, cfg, x)
     aux = _aux_heads(params, cfg, x)
 
-    cache["k"] = cache["k"].at[:, :, :, :T, :].set(jnp.stack(ks))
-    cache["v"] = cache["v"].at[:, :, :, :T, :].set(jnp.stack(vs))
+    k_stack, v_stack = jnp.stack(ks), jnp.stack(vs)
+    if kv_quant:
+        from genomics_lm_tpu.ops.quant import quantize_kv
+
+        k_stack, k_scale = quantize_kv(k_stack)
+        v_stack, v_scale = quantize_kv(v_stack)
+        cache["k_scale"] = cache["k_scale"].at[:, :, :, :T].set(k_scale)
+        cache["v_scale"] = cache["v_scale"].at[:, :, :, :T].set(v_scale)
+    cache["k"] = cache["k"].at[:, :, :, :T, :].set(k_stack)
+    cache["v"] = cache["v"].at[:, :, :, :T, :].set(v_stack)
     cache["seg"] = cache["seg"].at[:, :T].set(seg)
     cache["length"] = jnp.asarray(T, jnp.int32)
     cache["seg_count"] = seg[:, -1]
@@ -156,6 +183,12 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
     else:
         seg_ok = jnp.ones_like(base_valid, dtype=jnp.bool_)
 
+    kv_quant = "k_scale" in cache
+    if kv_quant:
+        from genomics_lm_tpu.ops.quant import quantize_kv
+
+        new_k_scale = cache["k_scale"]
+        new_v_scale = cache["v_scale"]
     new_k = cache["k"]
     new_v = cache["v"]
     for layer in range(cfg.n_layer):
@@ -164,6 +197,15 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
         q, k, v = _qkv(block_p, h, cfg)  # (B, H, 1, D), (B, Hkv, 1, D)
         if cfg.use_rope:
             q, k = apply_rope(q, k, cos, sin)
+        if kv_quant:
+            k, k_sc = quantize_kv(k)  # int8 (B,Hkv,1,D), f32 (B,Hkv,1)
+            v, v_sc = quantize_kv(v)
+            new_k_scale = jax.lax.dynamic_update_slice(
+                new_k_scale, k_sc[None], (layer, 0, 0, length)
+            )
+            new_v_scale = jax.lax.dynamic_update_slice(
+                new_v_scale, v_sc[None], (layer, 0, 0, length)
+            )
         # single dynamic-update-slice on the stacked cache: XLA can alias
         # this in place; the previous at[layer].set(dus(new_k[layer], ...))
         # chain forced full-cache copies per layer (~6 ms/step at d384 b64)
@@ -178,20 +220,32 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
 
         Hq, Hkv = cfg.n_head, cfg.kv_heads
         G = Hq // Hkv
-        qg = q.reshape(B, Hkv, G, cfg.head_dim)
+        qg = q.astype(cfg.dtype).reshape(B, Hkv, G, cfg.head_dim)
         # f32 accumulation via preferred_element_type — an astype(f32) on
         # k_all would materialize a full-cache f32 copy every step
         scores = jnp.einsum(
-            "bhgd,bhsd->bhgs", qg, k_all,
+            "bhgd,bhsd->bhgs", qg, k_all.astype(cfg.dtype),
             preferred_element_type=jnp.float32,
         ) / jnp.sqrt(jnp.float32(cfg.head_dim))
+        if kv_quant:
+            # per-vector scales factor out of the contraction:
+            # q·(k_q s_k) = s_k (q·k_q) — applied on the (B,H,G,S) scores,
+            # so the int8 cache is never dequantized in place
+            scores = scores * new_k_scale[layer][:, :, None, :]
         valid = base_valid & seg_ok  # (B, S)
         # the new token's own slot (index == length) is always attendable
         self_slot = positions[None, :] == length
         valid = valid | self_slot
         scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-        y = jnp.einsum("bhgs,bhsd->bhgd", probs, v_all)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if kv_quant:
+            # fold the V scales into the probabilities: Σ p (v_q s_v)
+            # = Σ (p s_v) v_q
+            probs = probs * new_v_scale[layer][:, :, None, :]
+        y = jnp.einsum(
+            "bhgs,bhsd->bhgd", probs.astype(cfg.dtype), v_all.astype(cfg.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(cfg.dtype)
         y = y.reshape(B, 1, cfg.n_embd)
         x = x + _linear(block_p["attn"]["proj"], y)
         h2 = _layer_norm(block_p["ln2"], x)
@@ -217,6 +271,9 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
         "length": length + 1,
         "seg_count": new_seg,
     }
+    if kv_quant:
+        new_cache["k_scale"] = new_k_scale
+        new_cache["v_scale"] = new_v_scale
     return logits, new_cache, aux
 
 
@@ -231,7 +288,7 @@ decode_step_donated = jax.jit(
 )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 5))
+@functools.partial(jax.jit, static_argnums=(1, 3, 5, 6))
 def generate_tokens(
     params,
     cfg: CodonGPTConfig,
@@ -239,6 +296,7 @@ def generate_tokens(
     n_tokens: int,
     key: jax.Array,
     temperature: float = 1.0,
+    kv_quant: bool = False,
 ):
     """Whole-generation-in-one-program batched sampling.
 
@@ -252,10 +310,14 @@ def generate_tokens(
     The KV cache is bucketed to the generation horizon (prompt + n_tokens,
     rounded up) instead of block_size — decode attention reads the whole
     cache every step, so a short generation with a small cache moves
-    proportionally less HBM traffic.
+    proportionally less HBM traffic. ``kv_quant`` stores the cache as int8
+    + per-vector scales (``ops/quant.py``) — half the cache bytes read per
+    step.
     """
     horizon = prompt.shape[1] + int(n_tokens)
-    logits, cache, _ = prefill(params, cfg, prompt, cache_bucket(cfg, horizon))
+    logits, cache, _ = prefill(
+        params, cfg, prompt, cache_bucket(cfg, horizon), kv_quant
+    )
 
     def body(carry, key):
         logits, cache = carry
@@ -274,7 +336,7 @@ def generate_tokens(
     return tokens.T  # (B, n_tokens)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 5))
+@functools.partial(jax.jit, static_argnums=(1, 3, 5, 7))
 def generate_masked_tokens(
     params,
     cfg: CodonGPTConfig,
@@ -283,6 +345,7 @@ def generate_masked_tokens(
     key: jax.Array,
     temperature: float,
     allowed_mask: jnp.ndarray,
+    kv_quant: bool = False,
 ):
     """``generate_tokens`` with a static vocabulary mask applied on device.
 
@@ -293,7 +356,9 @@ def generate_masked_tokens(
     high-throughput batched variant for the design-loop's candidate
     fan-out)."""
     horizon = prompt.shape[1] + int(n_tokens)
-    logits, cache, _ = prefill(params, cfg, prompt, cache_bucket(cfg, horizon))
+    logits, cache, _ = prefill(
+        params, cfg, prompt, cache_bucket(cfg, horizon), kv_quant
+    )
     neg = jnp.asarray(NEG_INF, jnp.float32)
 
     def body(carry, key):

@@ -130,6 +130,13 @@ def param_count(params) -> int:
 
 
 def _linear(p, x):
+    if "w_q" in p:
+        # weight-only int8 (ops/quant.py): the convert fuses into the dot's
+        # operand load, the per-output-channel scale into its epilogue
+        y = (x @ p["w_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
@@ -174,13 +181,28 @@ def _qkv(block_p, x, cfg: CodonGPTConfig):
         # one (C, Cq+2*Ckv) gemm; the concat is loop-invariant weight prep,
         # trivially cheap next to the matmul itself
         attn = block_p["attn"]
-        w = jnp.concatenate(
-            [attn["query"]["w"], attn["key"]["w"], attn["value"]["w"]], axis=1
-        )
-        b = jnp.concatenate(
-            [attn["query"]["b"], attn["key"]["b"], attn["value"]["b"]], axis=0
-        )
-        qkv = x @ w.astype(x.dtype) + b.astype(x.dtype)
+        if "w_q" in attn["query"]:
+            # int8 weight-only: per-output-channel scales concatenate too
+            w = jnp.concatenate(
+                [attn["query"]["w_q"], attn["key"]["w_q"], attn["value"]["w_q"]],
+                axis=1,
+            )
+            s = jnp.concatenate(
+                [attn["query"]["scale"], attn["key"]["scale"], attn["value"]["scale"]],
+                axis=0,
+            )
+            b = jnp.concatenate(
+                [attn["query"]["b"], attn["key"]["b"], attn["value"]["b"]], axis=0
+            )
+            qkv = (x @ w.astype(x.dtype)) * s.astype(x.dtype) + b.astype(x.dtype)
+        else:
+            w = jnp.concatenate(
+                [attn["query"]["w"], attn["key"]["w"], attn["value"]["w"]], axis=1
+            )
+            b = jnp.concatenate(
+                [attn["query"]["b"], attn["key"]["b"], attn["value"]["b"]], axis=0
+            )
+            qkv = x @ w.astype(x.dtype) + b.astype(x.dtype)
         c_q = cfg.n_head * hd
         c_kv = cfg.kv_heads * hd
         q, k, v = jnp.split(qkv, [c_q, c_q + c_kv], axis=-1)
