@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--donate_cache", action="store_true",
                     help="stepwise mode: donate the cache buffers so XLA "
                          "updates them in place (no per-step full-cache copy)")
+    ap.add_argument("--int8_weights", action="store_true",
+                    help="weight-only int8 block linears (ops/quant.py)")
+    ap.add_argument("--kv_quant", action="store_true",
+                    help="int8 KV cache with per-vector scales")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -55,6 +59,10 @@ def main(argv=None) -> int:
         fused_qkv=on_tpu,
     )
     params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+    if args.int8_weights:
+        from genomics_lm_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params)
     rng = np.random.default_rng(0)
     B, P = args.batch_size, args.prefill_len
     prompt = jnp.asarray(rng.integers(4, 68, (B, P)), jnp.int32)
@@ -72,12 +80,12 @@ def main(argv=None) -> int:
 
         def run_once(key):
             return generate_tokens(params, cfg, prompt, args.decode_tokens,
-                                   key, args.temperature)
+                                   key, args.temperature, args.kv_quant)
     else:
         step_fn = decode_step_donated if args.donate_cache else decode_step
 
         def run_once(key):
-            logits, cache, _ = prefill(params, cfg, prompt)
+            logits, cache, _ = prefill(params, cfg, prompt, None, args.kv_quant)
             for _ in range(args.decode_tokens):
                 key, sub = jax.random.split(key)
                 token = sample(logits, sub)
@@ -107,6 +115,8 @@ def main(argv=None) -> int:
         ),
         "mode": args.mode,
         "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd}",
+        "int8_weights": bool(args.int8_weights),
+        "kv_quant": bool(args.kv_quant),
     }
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
