@@ -34,6 +34,10 @@ from genomics_lm_tpu.models.codon_gpt import (
 )
 from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
 from genomics_lm_tpu.ops.attention import NEG_INF
+from genomics_lm_tpu.ops.decode_attention import (
+    decode_attention,
+    decode_attention_xla,
+)
 
 
 CACHE_BUCKET = 128  # cache sizes round up to multiples of this
@@ -182,6 +186,11 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
         seg_ok = cache["seg"] == new_seg[:, None]
     else:
         seg_ok = jnp.ones_like(base_valid, dtype=jnp.bool_)
+    # the new token's own slot (index == length) is always attendable;
+    # one additive (B, S) mask row shared by every layer
+    valid = (base_valid & seg_ok) | (positions[None, :] == length)
+    mask_add = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+    use_kernel = cfg.attention_impl == "flash"
 
     kv_quant = "k_scale" in cache
     if kv_quant:
@@ -215,38 +224,19 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
         new_v = jax.lax.dynamic_update_slice(
             new_v, v[None].astype(new_v.dtype), (layer, 0, 0, length, 0)
         )
-        k_all = new_k[layer]  # (B, Hkv, S, D)
-        v_all = new_v[layer]
-
-        Hq, Hkv = cfg.n_head, cfg.kv_heads
-        G = Hq // Hkv
-        qg = q.astype(cfg.dtype).reshape(B, Hkv, G, cfg.head_dim)
-        # f32 accumulation via preferred_element_type — an astype(f32) on
-        # k_all would materialize a full-cache f32 copy every step
-        scores = jnp.einsum(
-            "bhgd,bhsd->bhgs", qg, k_all.astype(cfg.dtype),
-            preferred_element_type=jnp.float32,
-        ) / jnp.sqrt(jnp.float32(cfg.head_dim))
-        if kv_quant:
-            # per-vector scales factor out of the contraction:
-            # q·(k_q s_k) = s_k (q·k_q) — applied on the (B,H,G,S) scores,
-            # so the int8 cache is never dequantized in place
-            scores = scores * new_k_scale[layer][:, :, None, :]
-        valid = base_valid & seg_ok  # (B, S)
-        # the new token's own slot (index == length) is always attendable
-        self_slot = positions[None, :] == length
-        valid = valid | self_slot
-        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
-        if kv_quant:
-            # fold the V scales into the probabilities: Σ p (v_q s_v)
-            # = Σ (p s_v) v_q
-            probs = probs * new_v_scale[layer][:, :, None, :]
-        y = jnp.einsum(
-            "bhgs,bhsd->bhgd", probs.astype(cfg.dtype), v_all.astype(cfg.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(cfg.dtype)
-        y = y.reshape(B, 1, cfg.n_embd)
+        q_flat = q.reshape(B, cfg.n_head, cfg.head_dim)  # (B,H,1,D) → (B,H,D)
+        ks = new_k_scale if kv_quant else None
+        vs = new_v_scale if kv_quant else None
+        if use_kernel:
+            # fused Pallas kernel: dequant-on-load + scores + masked softmax
+            # + PV in one VMEM pass — HBM traffic is one raw cache read
+            y = decode_attention(q_flat, new_k, new_v, mask_add, layer, ks, vs)
+        else:
+            y = decode_attention_xla(
+                q_flat, new_k, new_v, mask_add, layer, ks, vs,
+                compute_dtype=cfg.dtype,
+            )
+        y = y.astype(cfg.dtype).reshape(B, 1, cfg.n_embd)
         x = x + _linear(block_p["attn"]["proj"], y)
         h2 = _layer_norm(block_p["ln2"], x)
         if cfg.use_swiglu:

@@ -37,6 +37,9 @@ def main(argv=None) -> int:
                     help="weight-only int8 block linears (ops/quant.py)")
     ap.add_argument("--kv_quant", action="store_true",
                     help="int8 KV cache with per-vector scales")
+    ap.add_argument("--attention_impl", choices=["xla", "flash"], default=None,
+                    help="decode attention path: fused Pallas kernel "
+                         "('flash', TPU default) or einsum ('xla')")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -57,6 +60,7 @@ def main(argv=None) -> int:
         n_head=args.n_head, n_embd=args.n_embd, dropout=0.0, sep_id=3,
         compute_dtype="bfloat16" if on_tpu else "float32",
         fused_qkv=on_tpu,
+        attention_impl=args.attention_impl or ("flash" if on_tpu else "xla"),
     )
     params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
     if args.int8_weights:
@@ -117,6 +121,7 @@ def main(argv=None) -> int:
         "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd}",
         "int8_weights": bool(args.int8_weights),
         "kv_quant": bool(args.kv_quant),
+        "attention_impl": cfg.attention_impl,
     }
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
