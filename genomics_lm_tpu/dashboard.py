@@ -180,8 +180,8 @@ def shape_comparison_data(wild_type: str, variant: str) -> dict:
         "wild_type": wt,
         "variant": var,
         "aligned_length": n,
-        "gc_wild_type": gc(wt["bases"] and "".join(wt["bases"])),
-        "gc_variant": gc(var["bases"] and "".join(var["bases"])),
+        "gc_wild_type": gc("".join(wt["bases"])),
+        "gc_variant": gc("".join(var["bases"])),
         **deltas,
     }
 

@@ -35,7 +35,9 @@ class VocabularyContractError(ValueError):
 
 
 def _sha256_file(path: Path) -> str:
-    return hashlib.sha256(Path(path).read_bytes()).hexdigest()
+    from genomics_lm_tpu.data.manifest import file_sha256  # streamed, 1 MB chunks
+
+    return file_sha256(path)
 
 
 # --- token table ------------------------------------------------------------

@@ -239,27 +239,49 @@ def continuation_nll_vs_controls(
 # --- memorization audit ------------------------------------------------------
 
 
-def build_train_ngram_index(
-    npz_paths: Sequence[str | Path], n: int, *, max_tokens: int = 10_000_000
-) -> set:
-    """Exact n-gram index over the training token stream (id tuples)."""
+def build_train_ngram_indexes(
+    npz_paths: Sequence[str | Path],
+    ns: Sequence[int],
+    *,
+    max_tokens: int = 10_000_000,
+    fetch_block: int = 256,
+) -> dict[int, set]:
+    """Exact n-gram indexes over the training token stream, one pass.
+
+    All requested n sizes are filled from a single scan of the dataset
+    (block fetches of ``fetch_block`` rows), instead of one full pass and
+    one row-at-a-time fetch per n."""
     from genomics_lm_tpu.data.datasets import PackedDataset
 
-    index: set = set()
+    indexes: dict[int, set] = {int(n): set() for n in ns}
+    if not indexes:
+        return indexes
     seen_tokens = 0
     try:
         ds = PackedDataset(list(npz_paths))
     except Exception:
-        return index
-    for i in range(len(ds)):
+        return indexes
+    for lo_row in range(0, len(ds), fetch_block):
         if seen_tokens >= max_tokens:
             break
-        x, _ = ds.fetch_batch([i])
-        row = [int(t) for t in x[0] if int(t) != 0]
-        seen_tokens += len(row)
-        for lo in range(len(row) - n + 1):
-            index.add(tuple(row[lo : lo + n]))
-    return index
+        rows = list(range(lo_row, min(lo_row + fetch_block, len(ds))))
+        x, _ = ds.fetch_batch(rows)
+        for r in range(x.shape[0]):
+            if seen_tokens >= max_tokens:
+                break
+            row = [int(t) for t in x[r] if int(t) != 0]
+            seen_tokens += len(row)
+            for n, index in indexes.items():
+                for lo in range(len(row) - n + 1):
+                    index.add(tuple(row[lo : lo + n]))
+    return indexes
+
+
+def build_train_ngram_index(
+    npz_paths: Sequence[str | Path], n: int, *, max_tokens: int = 10_000_000
+) -> set:
+    """Single-n convenience wrapper over ``build_train_ngram_indexes``."""
+    return build_train_ngram_indexes(npz_paths, [n], max_tokens=max_tokens)[int(n)]
 
 
 def train_match_coverage(tokens: Sequence[int], n: int, index: set) -> float:
@@ -437,40 +459,47 @@ def summarize_by_k(samples: List[ScoredSample], k_list: Sequence[int],
 
 
 def replay_records(samples: List[ScoredSample], stoi: Dict[str, int],
-                   *, bucket_edges: Sequence[int] = (0, 3, 10, 30)) -> list[dict]:
-    """Hard-cap / terminal samples → termination-replay JSONL records.
+                   *, window: int = 30,
+                   bucket_edges: Sequence[int] = (0, 3, 10, 30)) -> list[dict]:
+    """Hard-cap samples → termination-replay JSONL records.
 
-    Hard-cap samples supervise the final generated state with the max
-    bucket ("no stop in sight was wrong — a stop should have been near");
-    terminal-stop samples supervise the state right before the stop with
-    bucket 0. Schema: ``data/replay.py`` (``ids`` + sparse ``labels``).
+    A hard-cap generation is a missed stop. Following the reference's
+    replay builder (``build_generated_prefix_replay.py:43-64``), a window
+    of tail positions is labeled with the distance bucket each position
+    would carry if the stop belonged right at the final generated state:
+    ``class = #edges < (boundary − pos)``, so the final position gets
+    bucket 0 ("stop imminent") and earlier positions walk up the buckets
+    exactly like the training-time labeler
+    (``ops/losses.termination_distance_bucket_labels``) would for a real
+    stop at the boundary. Labels never reach into the prompt prefix
+    (positions < ``s.k``). Schema: ``data/replay.py`` (``ids`` + sparse
+    ``labels``).
     """
+    if tuple(bucket_edges) != tuple(sorted(bucket_edges)):
+        raise ValueError("bucket_edges must be sorted")
     records = []
-    n_classes_max = len(bucket_edges)  # final bucket index
     for s in samples:
-        ids = [stoi[c] for c in s.codons if c in stoi]
-        if len(ids) < 2:
+        if not s.metrics.get("hit_hard_cap"):
             continue
-        if s.metrics.get("hit_hard_cap"):
-            records.append({
-                "ids": ids,
-                "labels": [{"pos": len(ids) - 1, "class": 0}],
-                "origin": {
-                    "protocol": s.protocol, "gene_idx": s.gene_idx,
-                    "k": s.k, "sample_id": s.sample_id, "kind": "hard_cap",
-                },
-            })
-        elif s.metrics.get("had_terminal_stop"):
-            records.append({
-                "ids": ids,
-                "labels": [{"pos": len(ids) - 2, "class": 0},
-                           {"pos": max(0, len(ids) - 2 - n_classes_max),
-                            "class": min(1, n_classes_max)}],
-                "origin": {
-                    "protocol": s.protocol, "gene_idx": s.gene_idx,
-                    "k": s.k, "sample_id": s.sample_id, "kind": "terminal",
-                },
-            })
+        ids = [stoi[c] for c in s.codons if c in stoi]
+        boundary = len(ids) - 1
+        start = max(int(s.k), boundary - max(0, int(window)))
+        if boundary < 1 or start > boundary:
+            continue  # nothing generated beyond the prefix
+        records.append({
+            "ids": ids,
+            "labels": [
+                {
+                    "pos": pos,
+                    "class": sum((boundary - pos) > e for e in bucket_edges),
+                }
+                for pos in range(start, boundary + 1)
+            ],
+            "origin": {
+                "protocol": s.protocol, "gene_idx": s.gene_idx,
+                "k": s.k, "sample_id": s.sample_id, "kind": "hard_cap",
+            },
+        })
     return records
 
 
@@ -531,6 +560,7 @@ __all__ = [
     "aa_identity",
     "bootstrap_interval",
     "build_train_ngram_index",
+    "build_train_ngram_indexes",
     "continuation_nll_vs_controls",
     "derive_sample_seed",
     "fit_train_unigram",

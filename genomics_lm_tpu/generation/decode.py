@@ -1,7 +1,7 @@
 """Autoregressive decoding: jitted KV-cache step + uncached parity path.
 
 The KV cache is a static-shape pytree: per layer stacked keys/values of
-shape (L, 1, Hkv, block_size, head_dim) plus a scalar length. ``prefill``
+shape (L, B, Hkv, S, head_dim) plus a scalar length. ``prefill``
 runs one full forward (capturing every layer's K/V); ``decode_step`` then
 attends one new token against the cache — O(T) per token instead of the
 reference's O(T²) full re-forward (``generate.py:13-27``).
@@ -77,8 +77,11 @@ def init_cache(
         "seg_count": jnp.zeros((batch,), jnp.int32),
     }
     if kv_quant:
-        cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
-        cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        # head-major (L, Hkv, B, S): the decode kernel's per-(block, head)
+        # scale block then has Mosaic-legal trailing (batch, S) dims
+        scale_shape = (cfg.n_layer, cfg.kv_heads, batch, S)
+        cache["k_scale"] = jnp.zeros(scale_shape, jnp.float32)
+        cache["v_scale"] = jnp.zeros(scale_shape, jnp.float32)
     return cache
 
 
@@ -132,8 +135,12 @@ def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
 
         k_stack, k_scale = quantize_kv(k_stack)
         v_stack, v_scale = quantize_kv(v_stack)
-        cache["k_scale"] = cache["k_scale"].at[:, :, :, :T].set(k_scale)
-        cache["v_scale"] = cache["v_scale"].at[:, :, :, :T].set(v_scale)
+        cache["k_scale"] = cache["k_scale"].at[:, :, :, :T].set(
+            k_scale.transpose(0, 2, 1, 3)
+        )
+        cache["v_scale"] = cache["v_scale"].at[:, :, :, :T].set(
+            v_scale.transpose(0, 2, 1, 3)
+        )
     cache["k"] = cache["k"].at[:, :, :, :T, :].set(k_stack)
     cache["v"] = cache["v"].at[:, :, :, :T, :].set(v_stack)
     cache["seg"] = cache["seg"].at[:, :T].set(seg)
@@ -190,7 +197,12 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
     # one additive (B, S) mask row shared by every layer
     valid = (base_valid & seg_ok) | (positions[None, :] == length)
     mask_add = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
-    use_kernel = cfg.attention_impl == "flash"
+    # fused kernel below the measured batch crossover, einsum above it
+    # (large batches are DMA-bound on the cache; the kernel's fusion win
+    # is XLA's per-op overhead, which only dominates at small batch)
+    from genomics_lm_tpu.ops.decode_attention import KERNEL_MAX_BATCH
+
+    use_kernel = cfg.attention_impl == "flash" and B <= KERNEL_MAX_BATCH
 
     kv_quant = "k_scale" in cache
     if kv_quant:
@@ -210,10 +222,10 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
             k, k_sc = quantize_kv(k)  # int8 (B,Hkv,1,D), f32 (B,Hkv,1)
             v, v_sc = quantize_kv(v)
             new_k_scale = jax.lax.dynamic_update_slice(
-                new_k_scale, k_sc[None], (layer, 0, 0, length)
+                new_k_scale, k_sc.transpose(1, 0, 2)[None], (layer, 0, 0, length)
             )
             new_v_scale = jax.lax.dynamic_update_slice(
-                new_v_scale, v_sc[None], (layer, 0, 0, length)
+                new_v_scale, v_sc.transpose(1, 0, 2)[None], (layer, 0, 0, length)
             )
         # single dynamic-update-slice on the stacked cache: XLA can alias
         # this in place; the previous at[layer].set(dus(new_k[layer], ...))

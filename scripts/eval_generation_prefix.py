@@ -168,10 +168,11 @@ def main(argv=None) -> int:
     unigram, codon_mask = E.fit_train_unigram(train_paths, itos)
     ngram_indexes = {}
     if args.memorization_audit and train_paths:
-        for n in (int(v) for v in args.memorization_n_list.split(",") if v):
-            ngram_indexes[n] = E.build_train_ngram_index(
-                train_paths, n, max_tokens=args.max_train_audit_tokens
-            )
+        ngram_indexes = E.build_train_ngram_indexes(
+            train_paths,
+            [int(v) for v in args.memorization_n_list.split(",") if v],
+            max_tokens=args.max_train_audit_tokens,
+        )
 
     target_protein = read_target_protein(args.target_protein)
     offset_weights = (

@@ -53,7 +53,8 @@ def main(argv=None) -> int:
 
     provenance_block = None
     if args.dataset_manifest or args.require_scientific_valid:
-        from genomics_lm_tpu.evals.playground import load_codon_checkpoint
+        from genomics_lm_tpu.evals.playground import resolve_checkpoint
+        from genomics_lm_tpu.training.checkpoints import load_checkpoint_meta
         from genomics_lm_tpu.evals.provenance import (
             EvaluationProvenanceError,
             bind_checkpoint_dataset,
@@ -69,7 +70,12 @@ def main(argv=None) -> int:
             expected_artifacts={"test_tokens": args.test_npz},
             require_scientific=args.require_scientific_valid,
         )
-        ckpt_cfg = dict(load_codon_checkpoint(run_dir, args.checkpoint).get("cfg", {}))
+        # metadata-only read — the weights were already loaded above
+        ckpt_cfg = dict(
+            load_checkpoint_meta(
+                resolve_checkpoint(run_dir, args.checkpoint)
+            ).get("cfg", {})
+        )
         provenance_block = {
             "dataset_manifest": manifest_prov,
             "checkpoint_dataset": bind_checkpoint_dataset(ckpt_cfg, manifest_prov),

@@ -117,7 +117,14 @@ def main(argv=None) -> int:
             args.dataset_manifest,
             require_scientific=args.require_scientific_valid,
         )
-        ckpt_cfg = dict(load_codon_checkpoint(run_dir, args.checkpoint).get("cfg", {}))
+        from genomics_lm_tpu.training.checkpoints import load_checkpoint_meta
+
+        # metadata-only read — the weights were already loaded above
+        ckpt_cfg = dict(
+            load_checkpoint_meta(
+                resolve_checkpoint(run_dir, args.checkpoint)
+            ).get("cfg", {})
+        )
         prov["dataset_manifest"] = manifest_prov
         prov["checkpoint_dataset"] = bind_checkpoint_dataset(ckpt_cfg, manifest_prov)
     out_path.with_suffix(".provenance.json").write_text(json.dumps(prov, indent=2) + "\n")

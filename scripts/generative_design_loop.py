@@ -205,16 +205,9 @@ def main(argv=None) -> int:
         r.setdefault("esmfold_plddt", None)
 
     # --- 6. outputs ----------------------------------------------------
-    import csv as csv_mod
+    from genomics_lm_tpu.evals.gen_prefix import write_csv
 
-    with (out_dir / "candidates.csv").open("w", newline="") as f:
-        if rows:
-            fields: list[str] = []
-            for r in rows:
-                fields += [k for k in r if k not in fields]
-            writer = csv_mod.DictWriter(f, fieldnames=fields)
-            writer.writeheader()
-            writer.writerows(rows)
+    write_csv(out_dir / "candidates.csv", rows)
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=2) + "\n")
 
     md = [

@@ -52,6 +52,8 @@ class TestKernelParity:
         k, v = _rand_cache(rng, L, B, Hkv, S, D)
         kq, ks = quantize_kv(k)
         vq, vs = quantize_kv(v)
+        ks = ks.transpose(0, 2, 1, 3)  # head-major scale layout (L,Hkv,B,S)
+        vs = vs.transpose(0, 2, 1, 3)
         q = jnp.asarray(rng.normal(size=(B, Hkv, D)), jnp.float32)
         mask = jnp.where(jnp.arange(S)[None, :] < 100, 0.0, -1e30).astype(
             jnp.float32

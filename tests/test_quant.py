@@ -128,5 +128,6 @@ def test_init_cache_quant_shapes():
     _, cfg = make_model()
     c = init_cache(cfg, batch=3, cache_size=16, kv_quant=True)
     assert c["k"].shape == (cfg.n_layer, 3, cfg.kv_heads, 16, cfg.head_dim)
-    assert c["k_scale"].shape == (cfg.n_layer, 3, cfg.kv_heads, 16)
+    # head-major scale layout (L, Hkv, B, S) — see ops/decode_attention.py
+    assert c["k_scale"].shape == (cfg.n_layer, cfg.kv_heads, 3, 16)
     assert c["v_scale"].dtype == jnp.float32
