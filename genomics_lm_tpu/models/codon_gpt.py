@@ -216,6 +216,22 @@ def _qkv(block_p, x, cfg: CodonGPTConfig):
     return q, k, v
 
 
+def _constrain_residual(x, cfg: CodonGPTConfig):
+    """Pin the (B, T, C) residual stream to ``cfg.residual_sharding``.
+
+    With ("data", "model") this is Megatron sequence parallelism: between
+    blocks the activations live sequence-sharded over the tensor-parallel
+    axis, so GSPMD lowers the row-parallel partial sums to reduce-scatter
+    (and all-gathers tokens back only at the column-parallel entries).
+    No-op when the config does not request it.
+    """
+    if cfg.residual_sharding is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P(*cfg.residual_sharding))
+
+
 def _block_apply(
     block_p,
     x,
@@ -247,7 +263,7 @@ def _block_apply(
         block_k=cfg.flash_block_k,
     )
     y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
-    x = x + _linear(block_p["attn"]["proj"], y)
+    x = _constrain_residual(x + _linear(block_p["attn"]["proj"], y), cfg)
 
     h = _layer_norm(block_p["ln2"], x)
     if cfg.use_swiglu:
@@ -259,7 +275,7 @@ def _block_apply(
     if train and mlp_rng is not None and cfg.dropout > 0.0:
         keep = jax.random.bernoulli(mlp_rng, 1.0 - cfg.dropout, m.shape)
         m = jnp.where(keep, m / (1.0 - cfg.dropout), 0.0)
-    return x + m
+    return _constrain_residual(x + m, cfg)
 
 
 def _embed(params, cfg: CodonGPTConfig, idx, shape_embeddings, *, train, rng):
@@ -304,7 +320,9 @@ def _run_blocks(params, cfg: CodonGPTConfig, x, *, segment_ids, attention_window
         if use_dropout
         else params["blocks"]
     )
-    x, _ = jax.lax.scan(body, x, xs, unroll=max(1, cfg.scan_unroll))
+    x, _ = jax.lax.scan(
+        body, _constrain_residual(x, cfg), xs, unroll=max(1, cfg.scan_unroll)
+    )
     return x
 
 

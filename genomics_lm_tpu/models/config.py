@@ -44,6 +44,13 @@ class CodonGPTConfig:
     scan_unroll: int = 1  # lax.scan unroll factor over layers
     flash_block_q: int = 128  # Pallas flash-attention tile sizes
     flash_block_k: int = 128
+    # Megatron-style sequence parallelism: PartitionSpec axes for the
+    # (B, T, C) residual stream, e.g. ("data", "model") shards the sequence
+    # dim over the tensor-parallel axis between blocks — GSPMD turns the
+    # row-parallel all-reduces into reduce-scatter + all-gather pairs and
+    # LN/dropout/residual math runs on 1/tp of the tokens per device.
+    # Requires an ambient mesh (jax.sharding.set_mesh) at trace time.
+    residual_sharding: tuple[str | None, ...] | None = None
 
     def __post_init__(self):
         if self.n_embd % self.n_head != 0:
@@ -60,6 +67,10 @@ class CodonGPTConfig:
         if self.loss_weights is not None:
             object.__setattr__(
                 self, "loss_weights", tuple(float(w) for w in self.loss_weights)
+            )
+        if self.residual_sharding is not None:
+            object.__setattr__(
+                self, "residual_sharding", tuple(self.residual_sharding)
             )
 
     @property

@@ -196,6 +196,53 @@ class TestTensorParallel:
                 np.asarray(ref_leaf), np.asarray(tp_leaf), atol=2e-4
             )
 
+    def test_tp_with_sequence_parallel_matches_single_device(self):
+        """Megatron SP: residual stream sequence-sharded over 'model'.
+
+        The constraint must change only the collective schedule (reduce-
+        scatter/all-gather instead of all-reduce), never the numbers."""
+        from genomics_lm_tpu.parallel.sharding import (
+            opt_state_sharding,
+            tp_param_sharding,
+        )
+
+        cfg = tiny_cfg(n_embd=64, n_head=4, fused_qkv=True)
+        params = codon_gpt.init(jax.random.key(0), cfg)
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(params)
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": jnp.asarray(rng.integers(4, 68, (2, 8, 16)), jnp.int32),
+            "y": jnp.asarray(rng.integers(4, 68, (2, 8, 16)), jnp.int32),
+        }
+        key = jax.random.key(1)
+        one = jnp.asarray(1.0)
+        p_ref, _, m_ref = make_train_step(cfg, LossConfig(), tx)(
+            params, opt_state, batch, key, one
+        )
+
+        mesh = make_mesh(axes={"data": 2, "model": 4})
+        cfg_sp = cfg.replace(residual_sharding=("data", "model"))
+        params_tp = jax.device_put(params, tp_param_sharding(params, mesh))
+        opt_tp = jax.device_put(
+            opt_state, opt_state_sharding(opt_state, mesh, tp_axis="model", zero1=True)
+        )
+        batch_tp = {
+            k: jax.device_put(v, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+            for k, v in batch.items()
+        }
+        step_sp = make_train_step(cfg_sp, LossConfig(), tx)
+        with jax.sharding.set_mesh(mesh):
+            p_sp, _, m_sp = step_sp(params_tp, opt_tp, batch_tp, key, one)
+
+        np.testing.assert_allclose(
+            float(m_ref["total_loss_sum"]), float(m_sp["total_loss_sum"]), rtol=1e-5
+        )
+        for ref_leaf, sp_leaf in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sp)):
+            np.testing.assert_allclose(
+                np.asarray(ref_leaf), np.asarray(sp_leaf), atol=2e-4
+            )
+
     def test_opt_state_tp_plus_zero1_overlay(self):
         from genomics_lm_tpu.parallel.sharding import opt_state_sharding
 
