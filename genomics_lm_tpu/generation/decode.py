@@ -88,11 +88,16 @@ def init_cache(
 @functools.partial(jax.jit, static_argnums=(1, 3, 4))
 def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
             cache_size: int | None = None,
-            kv_quant: bool = False) -> tuple[jnp.ndarray, dict, dict]:
+            kv_quant: bool = False,
+            last_index: jnp.ndarray | None = None) -> tuple[jnp.ndarray, dict, dict]:
     """Full forward over the prompt, returning (last logits, cache, aux).
 
     Prompt attention always runs full precision; with ``kv_quant`` the K/V
-    written into the cache are int8 + per-vector scales."""
+    written into the cache are int8 + per-vector scales. ``last_index``
+    (scalar or (B,)) gathers the returned logits/aux at that position
+    instead of the final one — right-padded prompts (the serving engine's
+    fixed-bucket admission) read their true last token while causality
+    keeps the pad positions from influencing it."""
     B, T = idx.shape
     cache = init_cache(cfg, B, cache_size, kv_quant)
     seg = jnp.cumsum((idx == cfg.sep_id).astype(jnp.int32), axis=1) if cfg.sep_id is not None else jnp.zeros((B, T), jnp.int32)
@@ -145,8 +150,13 @@ def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
     cache["v"] = cache["v"].at[:, :, :, :T, :].set(v_stack)
     cache["seg"] = cache["seg"].at[:, :T].set(seg)
     cache["length"] = jnp.asarray(T, jnp.int32)
-    cache["seg_count"] = seg[:, -1]
-    return logits[:, -1], cache, {k: v[:, -1] for k, v in aux.items()}
+    if last_index is None:
+        take = lambda a: a[:, -1]
+        cache["seg_count"] = seg[:, -1]
+    else:
+        take = lambda a: a[jnp.arange(B), last_index]
+        cache["seg_count"] = take(seg)
+    return take(logits), cache, {k: take(v) for k, v in aux.items()}
 
 
 def _aux_heads(params, cfg: CodonGPTConfig, x):

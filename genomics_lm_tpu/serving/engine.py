@@ -1,0 +1,431 @@
+"""Continuous-batching serving engine over the ragged KV cache.
+
+The decode path in ``generation.decode`` steps a batch whose sequences all
+share one scalar ``length`` — right for offline batch generation, wrong
+for serving, where requests arrive at different times with different
+prompt lengths. This module generalizes the cached step to **per-slot
+lengths**: every batch slot advances at its own position, writes its K/V
+via a per-slot scatter, and masks attention with its own (length, segment)
+row. A finished slot is retired on the host and re-admitted with a new
+request without touching the other slots — the chip always steps the full
+static batch.
+
+Engine flow (host side, ``ServingEngine``):
+
+    submit(...) → pending queue
+    step():  admit pending into free slots (right-padded bucket prefill,
+             one compile per bucket size)
+             → ``serve_steps``: one compiled scan of K ragged decode
+               steps for the whole batch (sampling on device)
+             → retire slots that hit a stop id / their token budget
+
+Sampling is per-slot: each request carries its own temperature (≤0 =
+greedy); an optional global vocabulary mask restricts sampling (e.g. the
+CDS codon set). Correctness contract: with greedy sampling a request's
+output is identical to ``generation.decode.generate_tokens`` run alone on
+its prompt (scheduling can never change the numbers) — see
+``tests/test_serving.py``.
+
+Reference: the interactive single-request path this subsumes is
+``scripts/query_model.py`` / ``generate.py:13-27`` (no KV cache, no
+batching). The int8 KV cache and the fused decode-attention kernel
+(``ops/decode_attention.py``) apply unchanged — the kernel consumes the
+per-slot additive mask and is oblivious to raggedness.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomics_lm_tpu.models import CodonGPTConfig
+from genomics_lm_tpu.models.codon_gpt import (
+    _layer_norm,
+    _linear,
+    _lm_logits,
+    _qkv,
+    rope_cos_sin,
+    rotate_half,
+)
+from genomics_lm_tpu.ops.attention import NEG_INF
+from genomics_lm_tpu.ops.decode_attention import (
+    KERNEL_MAX_BATCH,
+    decode_attention,
+    decode_attention_xla,
+)
+from genomics_lm_tpu.generation.decode import prefill
+
+PROMPT_BUCKET = 16  # admission prompts right-pad to multiples of this
+
+
+def init_serving_state(
+    cfg: CodonGPTConfig,
+    slots: int,
+    cache_size: int | None = None,
+    kv_quant: bool = False,
+) -> dict:
+    """Empty ragged serving state for ``slots`` concurrent sequences."""
+    S = cfg.block_size if cache_size is None else int(cache_size)
+    shape = (cfg.n_layer, slots, cfg.kv_heads, S, cfg.head_dim)
+    state = {
+        "k": jnp.zeros(shape, jnp.int8 if kv_quant else cfg.dtype),
+        "v": jnp.zeros(shape, jnp.int8 if kv_quant else cfg.dtype),
+        "seg": jnp.zeros((slots, S), jnp.int32),
+        "lengths": jnp.zeros((slots,), jnp.int32),
+        "seg_count": jnp.zeros((slots,), jnp.int32),
+        "last_logits": jnp.full((slots, cfg.vocab_size), NEG_INF, jnp.float32),
+        "active": jnp.zeros((slots,), jnp.bool_),
+    }
+    if kv_quant:
+        # head-major scales, matching generation.decode / the Pallas kernel
+        state["k_scale"] = jnp.zeros((cfg.n_layer, cfg.kv_heads, slots, S), jnp.float32)
+        state["v_scale"] = jnp.zeros((cfg.n_layer, cfg.kv_heads, slots, S), jnp.float32)
+    return state
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+def admit(params, cfg: CodonGPTConfig, state: dict, slot: jnp.ndarray,
+          prompt_padded: jnp.ndarray, prompt_len: jnp.ndarray) -> dict:
+    """Prefill one right-padded prompt and install it into batch slot ``slot``.
+
+    ``prompt_padded``: (1, P_bucket) int32, real tokens in [0, prompt_len).
+    Causality keeps pads from influencing real positions; pad K/V beyond
+    ``prompt_len`` sit above the slot's length, so the ragged mask never
+    attends them, and decode writes overwrite them one by one. Compiles
+    once per bucket size."""
+    kv_quant = "k_scale" in state
+    P = prompt_padded.shape[1]
+    last = jnp.asarray([prompt_len - 1], jnp.int32)
+    logits, mini, _ = prefill(params, cfg, prompt_padded, P, kv_quant, last)
+
+    slot = jnp.asarray(slot, jnp.int32)
+    out = dict(state)
+    out["k"] = jax.lax.dynamic_update_slice(
+        state["k"], mini["k"], (0, slot, 0, 0, 0))
+    out["v"] = jax.lax.dynamic_update_slice(
+        state["v"], mini["v"], (0, slot, 0, 0, 0))
+    out["seg"] = jax.lax.dynamic_update_slice(
+        state["seg"], mini["seg"], (slot, 0))
+    if kv_quant:
+        out["k_scale"] = jax.lax.dynamic_update_slice(
+            state["k_scale"], mini["k_scale"], (0, 0, slot, 0))
+        out["v_scale"] = jax.lax.dynamic_update_slice(
+            state["v_scale"], mini["v_scale"], (0, 0, slot, 0))
+    out["lengths"] = state["lengths"].at[slot].set(prompt_len)
+    out["seg_count"] = state["seg_count"].at[slot].set(mini["seg_count"][0])
+    out["last_logits"] = state["last_logits"].at[slot].set(
+        logits[0].astype(jnp.float32))
+    out["active"] = state["active"].at[slot].set(True)
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def deactivate(state: dict, slot_mask: jnp.ndarray) -> dict:
+    """Clear ``active`` for every slot where ``slot_mask`` is True."""
+    out = dict(state)
+    out["active"] = state["active"] & ~slot_mask
+    return out
+
+
+def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray):
+    """One decode step with per-slot positions; returns (logits, new state).
+
+    The layer body mirrors ``generation.decode._decode_step_impl`` (same
+    kernel dispatch, same int8 handling); only the position bookkeeping
+    differs: scalar ``length`` becomes the (B,) ``lengths`` vector, the
+    single dynamic-update-slice becomes a per-slot scatter, and inactive
+    slots keep their length (their writes land on their own frozen slot
+    and are never attended)."""
+    B = token.shape[0]
+    S = state["seg"].shape[1]
+    lengths = state["lengths"]
+    active = state["active"]
+    wpos = jnp.minimum(lengths, S - 1)  # inactive/full slots re-write in place
+    bidx = jnp.arange(B)
+    new_seg = state["seg_count"] + (
+        (token == cfg.sep_id).astype(jnp.int32) if cfg.sep_id is not None else 0
+    )
+
+    x = params["tok_emb"].astype(cfg.dtype)[token][:, None, :]  # (B, 1, C)
+    pos_clip = jnp.minimum(lengths, cfg.block_size - 1)
+    if not cfg.use_rope:
+        x = x + params["pos_emb"].astype(cfg.dtype)[pos_clip][:, None, :]
+    else:
+        cos_full, sin_full = rope_cos_sin(
+            cfg.block_size, cfg.head_dim, cfg.rope_base, cfg.dtype)
+        cos_b = cos_full[pos_clip][:, None, None, :]  # (B,1,1,D)
+        sin_b = sin_full[pos_clip][:, None, None, :]
+
+    positions = jnp.arange(S)
+    base_valid = positions[None, :] < lengths[:, None]
+    if cfg.sep_id is not None:
+        seg_ok = state["seg"] == new_seg[:, None]
+    else:
+        seg_ok = jnp.ones((B, S), jnp.bool_)
+    valid = (base_valid & seg_ok) | (positions[None, :] == wpos[:, None])
+    mask_add = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+    use_kernel = cfg.attention_impl == "flash" and B <= KERNEL_MAX_BATCH
+
+    kv_quant = "k_scale" in state
+    if kv_quant:
+        from genomics_lm_tpu.ops.quant import quantize_kv
+
+        new_k_scale = state["k_scale"]
+        new_v_scale = state["v_scale"]
+    new_k = state["k"]
+    new_v = state["v"]
+    for layer in range(cfg.n_layer):
+        block_p = jax.tree.map(lambda p: p[layer], params["blocks"])
+        h = _layer_norm(block_p["ln1"], x)
+        q, k, v = _qkv(block_p, h, cfg)  # (B, H, 1, D), (B, Hkv, 1, D)
+        if cfg.use_rope:
+            q = q * cos_b + rotate_half(q) * sin_b
+            k = k * cos_b + rotate_half(k) * sin_b
+        if kv_quant:
+            k, k_sc = quantize_kv(k)
+            v, v_sc = quantize_kv(v)
+            new_k_scale = new_k_scale.at[layer, :, bidx, wpos].set(k_sc[:, :, 0])
+            new_v_scale = new_v_scale.at[layer, :, bidx, wpos].set(v_sc[:, :, 0])
+        new_k = new_k.at[layer, bidx, :, wpos, :].set(
+            k[:, :, 0, :].astype(new_k.dtype))
+        new_v = new_v.at[layer, bidx, :, wpos, :].set(
+            v[:, :, 0, :].astype(new_v.dtype))
+        q_flat = q.reshape(B, cfg.n_head, cfg.head_dim)
+        ks = new_k_scale if kv_quant else None
+        vs = new_v_scale if kv_quant else None
+        if use_kernel:
+            y = decode_attention(q_flat, new_k, new_v, mask_add, layer, ks, vs)
+        else:
+            y = decode_attention_xla(
+                q_flat, new_k, new_v, mask_add, layer, ks, vs,
+                compute_dtype=cfg.dtype,
+            )
+        y = y.astype(cfg.dtype).reshape(B, 1, cfg.n_embd)
+        x = x + _linear(block_p["attn"]["proj"], y)
+        h2 = _layer_norm(block_p["ln2"], x)
+        if cfg.use_swiglu:
+            m = _linear(block_p["mlp"]["w_down"],
+                        jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h2))
+                        * _linear(block_p["mlp"]["w_up"], h2))
+        else:
+            m = _linear(block_p["mlp"]["proj"],
+                        jax.nn.gelu(_linear(block_p["mlp"]["fc"], h2), approximate=False))
+        x = x + m
+
+    x = _layer_norm(params["ln_f"], x)
+    logits = _lm_logits(params, cfg, x)[:, 0].astype(jnp.float32)
+
+    out = dict(state)
+    out["k"], out["v"] = new_k, new_v
+    if kv_quant:
+        out["k_scale"], out["v_scale"] = new_k_scale, new_v_scale
+    out["seg"] = state["seg"].at[bidx, wpos].set(
+        jnp.where(active, new_seg, state["seg"][bidx, wpos]))
+    out["lengths"] = jnp.where(
+        active, jnp.minimum(lengths + 1, S), lengths)
+    out["seg_count"] = jnp.where(active, new_seg, state["seg_count"])
+    out["last_logits"] = jnp.where(
+        active[:, None], logits, state["last_logits"])
+    return logits, out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3), donate_argnums=(2,))
+def serve_steps(
+    params,
+    cfg: CodonGPTConfig,
+    state: dict,
+    n_steps: int,
+    temps: jnp.ndarray,
+    key: jax.Array,
+    allowed_mask: jnp.ndarray | None = None,
+) -> tuple[dict, jnp.ndarray]:
+    """One compiled scan of ``n_steps`` ragged decode steps.
+
+    ``temps``: (B,) per-slot temperature, ≤0 = greedy. ``allowed_mask``:
+    optional (V,) bool vocabulary restriction (e.g. CDS codons). Returns
+    (new state, (B, n_steps) sampled tokens); tokens of inactive slots are
+    0. One device dispatch per chunk — the host syncs only at chunk
+    boundaries to admit/retire."""
+    neg = jnp.asarray(NEG_INF, jnp.float32)
+
+    def body(state, key):
+        logits = state["last_logits"]
+        if allowed_mask is not None:
+            logits = jnp.where(allowed_mask[None, :], logits, neg)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        sampled = jax.random.categorical(
+            key, logits / jnp.maximum(temps, 1e-6)[:, None], axis=-1
+        ).astype(jnp.int32)
+        token = jnp.where(temps <= 0, greedy, sampled)
+        token = jnp.where(state["active"], token, 0)
+        _, state = _ragged_decode(params, cfg, state, token)
+        return state, token
+
+    state, tokens = jax.lax.scan(body, state, jax.random.split(key, n_steps))
+    return state, tokens.T
+
+
+@dataclass
+class Request:
+    request_id: int
+    prompt: list[int]
+    max_new_tokens: int
+    temperature: float = 0.0
+    stop_ids: tuple[int, ...] = ()
+
+
+@dataclass
+class RequestResult:
+    request_id: int
+    prompt: list[int]
+    tokens: list[int] = field(default_factory=list)
+    finish_reason: str = ""  # "stop" | "length"
+
+
+class ServingEngine:
+    """Host-side continuous-batching scheduler over ``serve_steps``.
+
+    One engine owns one device state (``slots`` concurrent sequences, one
+    static cache). ``submit`` enqueues; ``step`` admits + decodes one
+    chunk + retires; ``run`` drains the queue. Determinism: greedy
+    requests produce output independent of co-scheduling (tested).
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: CodonGPTConfig,
+        *,
+        slots: int = 8,
+        max_seq_len: int | None = None,
+        kv_quant: bool = False,
+        steps_per_sync: int = 16,
+        allowed_ids: list[int] | None = None,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.slots = int(slots)
+        self.S = int(max_seq_len or cfg.block_size)
+        if self.S > cfg.block_size:
+            raise ValueError("max_seq_len exceeds model block_size")
+        self.kv_quant = bool(kv_quant)
+        self.steps_per_sync = int(steps_per_sync)
+        self.state = init_serving_state(cfg, self.slots, self.S, kv_quant)
+        self._temps = np.zeros((self.slots,), np.float32)
+        self._key = jax.random.PRNGKey(seed)
+        self._allowed = None
+        if allowed_ids is not None:
+            m = np.zeros((cfg.vocab_size,), bool)
+            m[np.asarray(allowed_ids, int)] = True
+            self._allowed = jnp.asarray(m)
+        self.pending: list[Request] = []
+        self.results: dict[int, RequestResult] = {}
+        self._slot_req: list[Request | None] = [None] * self.slots
+        self._next_id = 0
+
+    # -- queue -------------------------------------------------------------
+    def submit(self, prompt: list[int], max_new_tokens: int,
+               temperature: float = 0.0,
+               stop_ids: tuple[int, ...] = ()) -> int:
+        if not prompt:
+            raise ValueError("empty prompt")
+        budget = len(prompt) + int(max_new_tokens)
+        if budget > self.S:
+            raise ValueError(
+                f"prompt+max_new_tokens {budget} exceeds engine max_seq_len {self.S}")
+        rid = self._next_id
+        self._next_id += 1
+        self.pending.append(Request(rid, list(map(int, prompt)),
+                                    int(max_new_tokens), float(temperature),
+                                    tuple(stop_ids)))
+        return rid
+
+    @property
+    def n_active(self) -> int:
+        return sum(r is not None for r in self._slot_req)
+
+    # -- scheduling --------------------------------------------------------
+    def _admit_pending(self) -> None:
+        for slot in range(self.slots):
+            if self._slot_req[slot] is not None or not self.pending:
+                continue
+            req = self.pending.pop(0)
+            P = len(req.prompt)
+            bucket = ((P + PROMPT_BUCKET - 1) // PROMPT_BUCKET) * PROMPT_BUCKET
+            bucket = min(bucket, self.S)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :P] = req.prompt
+            self.state = admit(
+                self.params, self.cfg, self.state,
+                jnp.asarray(slot, jnp.int32), jnp.asarray(padded),
+                jnp.asarray(P, jnp.int32),
+            )
+            self._slot_req[slot] = req
+            self._temps[slot] = req.temperature
+            self.results[req.request_id] = RequestResult(
+                req.request_id, list(req.prompt))
+
+    def _retire(self, tokens: np.ndarray) -> None:
+        """Consume one chunk of sampled tokens; free finished slots."""
+        finished = np.zeros((self.slots,), bool)
+        for slot, req in enumerate(self._slot_req):
+            if req is None:
+                continue
+            res = self.results[req.request_id]
+            for t in tokens[slot]:
+                t = int(t)
+                res.tokens.append(t)
+                if t in req.stop_ids:
+                    res.finish_reason = "stop"
+                    break
+                if len(res.tokens) >= req.max_new_tokens:
+                    res.finish_reason = "length"
+                    break
+            if res.finish_reason:
+                finished[slot] = True
+                self._slot_req[slot] = None
+        if finished.any():
+            self.state = deactivate(self.state, jnp.asarray(finished))
+
+    def step(self) -> int:
+        """Admit + decode one chunk + retire. Returns #tokens sampled."""
+        self._admit_pending()
+        if self.n_active == 0:
+            return 0
+        # never decode past the tightest remaining per-request budget more
+        # than a chunk; overshoot within a chunk is discarded on the host
+        n = self.steps_per_sync
+        self._key, sub = jax.random.split(self._key)
+        self.state, toks = serve_steps(
+            self.params, self.cfg, self.state, n,
+            jnp.asarray(self._temps), sub, self._allowed,
+        )
+        self._retire(np.asarray(toks))
+        return int(self.n_active and n * self.slots)
+
+    def run(self, max_chunks: int = 10_000) -> dict[int, RequestResult]:
+        """Drain the queue; returns {request_id: RequestResult}."""
+        for _ in range(max_chunks):
+            if not self.pending and self.n_active == 0:
+                break
+            self.step()
+        else:
+            raise RuntimeError("serving run did not drain within max_chunks")
+        return self.results
+
+
+__all__ = [
+    "PROMPT_BUCKET",
+    "Request",
+    "RequestResult",
+    "ServingEngine",
+    "admit",
+    "deactivate",
+    "init_serving_state",
+    "serve_steps",
+]

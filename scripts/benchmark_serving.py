@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Continuous-batching serving throughput under a ragged request mix.
+
+Measures the ``genomics_lm_tpu.serving.ServingEngine`` end to end: a queue
+of requests with varying prompt lengths and token budgets drains through a
+fixed slot pool — admissions, chunked ragged decode, retirements, slot
+reuse. The metric counts only tokens actually delivered to requests
+(overshoot past a stop/budget inside a chunk is excluded), so it is the
+number a serving deployment would bill, not a raw decode-step rate.
+
+No reference equivalent (the reference serves one request at a time with a
+full O(T²) re-forward per token, ``scripts/query_model.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys as _sys
+import time
+from pathlib import Path
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
+from scripts._shared import REPO_ROOT  # noqa: F401, E402
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_layer", type=int, default=10)
+    ap.add_argument("--n_head", type=int, default=8)
+    ap.add_argument("--n_embd", type=int, default=384)
+    ap.add_argument("--block_size", type=int, default=512)
+    ap.add_argument("--slots", type=int, default=64)
+    ap.add_argument("--max_seq_len", type=int, default=256)
+    ap.add_argument("--requests", type=int, default=256)
+    ap.add_argument("--prompt_len_min", type=int, default=16)
+    ap.add_argument("--prompt_len_max", type=int, default=64)
+    ap.add_argument("--new_tokens_min", type=int, default=32)
+    ap.add_argument("--new_tokens_max", type=int, default=128)
+    ap.add_argument("--steps_per_sync", type=int, default=16)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--kv_quant", action="store_true",
+                    help="int8 KV cache with per-vector scales")
+    ap.add_argument("--int8_weights", action="store_true",
+                    help="weight-only int8 block linears (ops/quant.py)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+    from genomics_lm_tpu.serving import ServingEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = CodonGPTConfig(
+        vocab_size=68, block_size=args.block_size, n_layer=args.n_layer,
+        n_head=args.n_head, n_embd=args.n_embd, dropout=0.0, sep_id=3,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        fused_qkv=on_tpu,
+        attention_impl="flash" if on_tpu else "xla",
+    )
+    params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+    if args.int8_weights:
+        from genomics_lm_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params)
+
+    rng = np.random.default_rng(args.seed)
+
+    def build_queue(n):
+        reqs = []
+        for _ in range(n):
+            p_len = int(rng.integers(args.prompt_len_min, args.prompt_len_max + 1))
+            budget = int(rng.integers(args.new_tokens_min, args.new_tokens_max + 1))
+            budget = min(budget, args.max_seq_len - p_len)
+            prompt = [1] + [int(t) for t in rng.integers(4, 68, p_len - 1)]
+            reqs.append((prompt, budget))
+        return reqs
+
+    def run_queue(reqs, seed):
+        eng = ServingEngine(
+            params, cfg, slots=args.slots, max_seq_len=args.max_seq_len,
+            kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
+            seed=seed,
+        )
+        for prompt, budget in reqs:
+            eng.submit(prompt, budget, temperature=args.temperature)
+        results = eng.run()
+        return sum(len(r.tokens) for r in results.values())
+
+    # compile + warm on a small queue (same shapes: bucketed prompts)
+    run_queue(build_queue(min(args.slots, args.requests)), args.seed + 1)
+
+    reqs = build_queue(args.requests)
+    t0 = time.perf_counter()
+    delivered = run_queue(reqs, args.seed)  # results fetch = hard sync
+    elapsed = time.perf_counter() - t0
+
+    report = {
+        "metric": "serving_delivered_tokens_per_sec_per_chip",
+        "value": round(delivered / elapsed, 1),
+        "unit": "tokens/sec",
+        "slots": args.slots,
+        "requests": args.requests,
+        "delivered_tokens": delivered,
+        "elapsed_sec": round(elapsed, 2),
+        "steps_per_sync": args.steps_per_sync,
+        "max_seq_len": args.max_seq_len,
+        "kv_quant": bool(args.kv_quant),
+        "int8_weights": bool(args.int8_weights),
+        "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd}",
+    }
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,154 @@
+"""Continuous-batching serving engine: correctness under co-scheduling.
+
+The contract under test: scheduling must never change the numbers. A
+greedy request served through the ragged batched engine — admitted late,
+sharing its chunk with other requests at other positions, retired
+mid-chunk — must emit exactly the tokens that ``generate_tokens`` (the
+offline single-dispatch path, itself parity-tested against the uncached
+reference semantics) produces for its prompt alone.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+from genomics_lm_tpu.generation.decode import generate_tokens
+from genomics_lm_tpu.serving.engine import ServingEngine, init_serving_state
+
+
+def make_model(**over):
+    kw = dict(
+        vocab_size=68, block_size=96, n_layer=2, n_head=4, n_embd=64,
+        dropout=0.0, sep_id=3,
+    )
+    kw.update(over)
+    cfg = CodonGPTConfig(**kw)
+    params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+def offline_greedy(params, cfg, prompt, n, kv_quant=False):
+    toks = generate_tokens(
+        params, cfg, jnp.asarray([prompt], jnp.int32), n,
+        jax.random.PRNGKey(9), 0.0, kv_quant,
+    )
+    return [int(t) for t in np.asarray(toks[0])]
+
+
+class TestServingEngine:
+    def test_greedy_matches_offline_generation(self):
+        params, cfg = make_model()
+        rng = np.random.default_rng(0)
+        prompts = [
+            [1] + [int(t) for t in rng.integers(4, 68, n)]
+            for n in (5, 11, 17, 3, 24)
+        ]
+        n_new = 12
+        eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4)
+        rids = [eng.submit(p, n_new) for p in prompts]
+        results = eng.run()
+        for rid, p in zip(rids, prompts):
+            expect = offline_greedy(params, cfg, p, n_new)
+            assert results[rid].tokens == expect, f"prompt len {len(p)}"
+            assert results[rid].finish_reason == "length"
+
+    def test_greedy_independent_of_co_scheduling(self):
+        """Same request alone vs packed with others: identical output."""
+        params, cfg = make_model(use_rope=True, use_swiglu=True)
+        rng = np.random.default_rng(1)
+        probe = [1] + [int(t) for t in rng.integers(4, 68, 9)]
+        others = [
+            [1] + [int(t) for t in rng.integers(4, 68, n)] for n in (20, 7, 13)
+        ]
+        alone = ServingEngine(params, cfg, slots=4, steps_per_sync=5)
+        rid = alone.submit(probe, 10)
+        alone_tokens = alone.run()[rid].tokens
+
+        packed = ServingEngine(params, cfg, slots=2, steps_per_sync=5)
+        for o in others[:2]:
+            packed.submit(o, 15)
+        rid2 = packed.submit(probe, 10)  # admitted only when a slot frees
+        packed.submit(others[2], 6)
+        assert packed.run()[rid2].tokens == alone_tokens
+
+    def test_stop_ids_retire_and_free_slot(self):
+        params, cfg = make_model()
+        prompt = [1, 10, 11, 12]
+        full = offline_greedy(params, cfg, prompt, 16)
+        stop = full[4]
+        first = full.index(stop)  # untrained outputs may repeat early
+        eng = ServingEngine(params, cfg, slots=1, steps_per_sync=3)
+        rid_a = eng.submit(prompt, 16, stop_ids=(stop,))
+        rid_b = eng.submit(prompt, 6)  # must reuse the freed slot
+        results = eng.run()
+        assert results[rid_a].finish_reason == "stop"
+        assert results[rid_a].tokens == full[: first + 1]
+        assert results[rid_b].tokens == full[:6]
+
+    def test_slot_reuse_does_not_leak_state(self):
+        """A long occupant then a short one: the short request's output
+        must be unaffected by stale cache/segment content above its
+        length."""
+        params, cfg = make_model()
+        rng = np.random.default_rng(2)
+        long_p = [1] + [int(t) for t in rng.integers(4, 68, 30)]
+        # include a <SEP> so stale segment ids are non-trivial
+        long_p[10] = 3
+        short_p = [1] + [int(t) for t in rng.integers(4, 68, 4)]
+        eng = ServingEngine(params, cfg, slots=1, steps_per_sync=8)
+        eng.submit(long_p, 20)
+        rid = eng.submit(short_p, 8)
+        out = eng.run()[rid].tokens
+        assert out == offline_greedy(params, cfg, short_p, 8)
+
+    def test_int8_kv_cache_path(self):
+        params, cfg = make_model()
+        rng = np.random.default_rng(3)
+        prompts = [[1] + [int(t) for t in rng.integers(4, 68, n)] for n in (6, 14)]
+        eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4, kv_quant=True)
+        rids = [eng.submit(p, 8) for p in prompts]
+        results = eng.run()
+        for rid, p in zip(rids, prompts):
+            expect = offline_greedy(params, cfg, p, 8, kv_quant=True)
+            assert results[rid].tokens == expect
+
+    def test_allowed_mask_restricts_sampling(self):
+        params, cfg = make_model()
+        allowed = list(range(4, 68))  # CDS codons only
+        eng = ServingEngine(
+            params, cfg, slots=2, steps_per_sync=4, allowed_ids=allowed)
+        rid = eng.submit([1, 20, 21], 10, temperature=1.3)
+        out = eng.run()[rid].tokens
+        assert len(out) == 10
+        assert all(4 <= t < 68 for t in out)
+
+    def test_per_slot_temperature(self):
+        """Greedy and sampled requests co-scheduled: the greedy one stays
+        deterministic."""
+        params, cfg = make_model()
+        prompt = [1, 30, 31, 32, 33]
+        expect = offline_greedy(params, cfg, prompt, 8)
+        eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4, seed=7)
+        rid_g = eng.submit(prompt, 8, temperature=0.0)
+        rid_s = eng.submit(prompt, 8, temperature=2.0)
+        results = eng.run()
+        assert results[rid_g].tokens == expect
+        assert len(results[rid_s].tokens) == 8
+
+    def test_budget_validation(self):
+        params, cfg = make_model()
+        eng = ServingEngine(params, cfg, slots=1, max_seq_len=32)
+        with pytest.raises(ValueError):
+            eng.submit(list(range(4, 30)), 10)  # 26 + 10 > 32
+        with pytest.raises(ValueError):
+            ServingEngine(params, cfg, max_seq_len=128)  # > block_size
+
+    def test_state_shapes(self):
+        _, cfg = make_model()
+        st = init_serving_state(cfg, slots=3, cache_size=64, kv_quant=True)
+        assert st["k"].shape == (2, 3, cfg.kv_heads, 64, cfg.head_dim)
+        assert st["k_scale"].shape == (2, cfg.kv_heads, 3, 64)
+        assert st["lengths"].shape == (3,)
+        assert not bool(st["active"].any())
