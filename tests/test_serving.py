@@ -152,3 +152,48 @@ class TestServingEngine:
         assert st["k_scale"].shape == (2, cfg.kv_heads, 3, 64)
         assert st["lengths"].shape == (3,)
         assert not bool(st["active"].any())
+
+
+class TestBenchmarkCLIs:
+    """The serving/decode benchmark scripts run end-to-end on tiny shapes."""
+
+    def _run(self, script, *args):
+        import subprocess, sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parent.parent
+        return subprocess.run(
+            [sys.executable, str(repo / "scripts" / script), *args],
+            capture_output=True, text=True, timeout=500,
+            env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                 "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(repo)},
+        )
+
+    def test_benchmark_serving_cli(self):
+        import json
+
+        proc = self._run(
+            "benchmark_serving.py", "--n_layer", "1", "--n_head", "2",
+            "--n_embd", "32", "--block_size", "64", "--slots", "2",
+            "--max_seq_len", "48", "--requests", "3",
+            "--prompt_len_min", "4", "--prompt_len_max", "8",
+            "--new_tokens_min", "4", "--new_tokens_max", "6",
+            "--steps_per_sync", "3",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        report = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert report["metric"] == "serving_delivered_tokens_per_sec_per_chip"
+        assert report["delivered_tokens"] > 0
+
+    def test_benchmark_decode_cli(self):
+        import json
+
+        proc = self._run(
+            "benchmark_decode.py", "--n_layer", "1", "--n_head", "2",
+            "--n_embd", "32", "--block_size", "64", "--batch_size", "4",
+            "--prefill_len", "8", "--decode_tokens", "6",
+            "--measure_rounds", "1",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        report = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert report["metric"] == "decode_codon_tokens_per_sec_per_chip"
