@@ -88,38 +88,71 @@ def init_serving_state(
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
-def admit(params, cfg: CodonGPTConfig, state: dict, slot: jnp.ndarray,
-          prompt_padded: jnp.ndarray, prompt_len: jnp.ndarray) -> dict:
-    """Prefill one right-padded prompt and install it into batch slot ``slot``.
+def admit_many(params, cfg: CodonGPTConfig, state: dict, slot_idx: jnp.ndarray,
+               prompts: jnp.ndarray, prompt_lens: jnp.ndarray,
+               valid: jnp.ndarray) -> dict:
+    """Prefill a batch of right-padded prompts and install them into slots.
 
-    ``prompt_padded``: (1, P_bucket) int32, real tokens in [0, prompt_len).
-    Causality keeps pads from influencing real positions; pad K/V beyond
-    ``prompt_len`` sit above the slot's length, so the ragged mask never
-    attends them, and decode writes overwrite them one by one. Compiles
-    once per bucket size."""
+    ``prompts``: (N, P) int32, row i real in [0, prompt_lens[i]); rows with
+    ``valid[i]`` False are ignored (their slot_idx may be anything).
+    ``slot_idx``: (N,) target batch rows, distinct among valid lanes.
+
+    One dispatch — and, because the engine calls this at a FIXED (N, P)
+    shape, exactly one compile ever — regardless of how many requests are
+    admitted. Per-request admission was the dominant serving cost on
+    dispatch-latency-bound runtimes (measured 256 admits ≈ 10 s of a 14 s
+    drain over the TPU tunnel), and per-shape recompiles of anything
+    admission-shaped dwarf the work itself there, so shape stability is
+    the whole game. The install is a one-hot routing matmul
+    (``onehot (B,N) @ mini (…,N,…)``) followed by a masked merge with the
+    previous cache prefix — dense, fully parallel, no scatter and no
+    per-lane loop, and every output aliases the donated state buffer.
+    One-hot rows select a single element, so int8 cache values and f32
+    scales round-trip exactly through the bf16/f32 matmul.
+
+    Causality keeps the right-pads from influencing real positions; pad
+    K/V beyond a row's length sit above the slot's length, so the ragged
+    mask never attends them and decode writes overwrite them one by one."""
     kv_quant = "k_scale" in state
-    P = prompt_padded.shape[1]
-    last = jnp.asarray([prompt_len - 1], jnp.int32)
-    logits, mini, _ = prefill(params, cfg, prompt_padded, P, kv_quant, last)
+    N, P = prompts.shape
+    B = state["lengths"].shape[0]
+    logits, mini, _ = prefill(params, cfg, prompts, P, kv_quant,
+                              jnp.maximum(prompt_lens - 1, 0))
 
-    slot = jnp.asarray(slot, jnp.int32)
+    onehot_b = (slot_idx[None, :] == jnp.arange(B)[:, None]) & valid[None, :]
+    written = jnp.any(onehot_b, axis=1)  # (B,)
+    onehot = onehot_b.astype(jnp.float32)
+
+    def route(mini_arr, old, lane_axis, pos_axis, mask_shape):
+        """Route admission lanes to slots and merge over ``old``'s P-prefix."""
+        upd = jnp.einsum(
+            "bn,...n->...b", onehot,
+            jnp.moveaxis(mini_arr, lane_axis, -1).astype(jnp.float32))
+        upd = jnp.moveaxis(upd, -1, lane_axis).astype(old.dtype)
+        prefix = jax.lax.slice_in_dim(old, 0, P, axis=pos_axis)
+        merged = jnp.where(written.reshape(mask_shape), upd, prefix)
+        return jax.lax.dynamic_update_slice(
+            old, merged, (0,) * old.ndim)
+
     out = dict(state)
-    out["k"] = jax.lax.dynamic_update_slice(
-        state["k"], mini["k"], (0, slot, 0, 0, 0))
-    out["v"] = jax.lax.dynamic_update_slice(
-        state["v"], mini["v"], (0, slot, 0, 0, 0))
-    out["seg"] = jax.lax.dynamic_update_slice(
-        state["seg"], mini["seg"], (slot, 0))
+    # caches (L, B, Hkv, S, D): lane axis 1, positions axis 3
+    out["k"] = route(mini["k"], state["k"], 1, 3, (1, B, 1, 1, 1))
+    out["v"] = route(mini["v"], state["v"], 1, 3, (1, B, 1, 1, 1))
+    out["seg"] = route(mini["seg"], state["seg"], 0, 1, (B, 1))
     if kv_quant:
-        out["k_scale"] = jax.lax.dynamic_update_slice(
-            state["k_scale"], mini["k_scale"], (0, 0, slot, 0))
-        out["v_scale"] = jax.lax.dynamic_update_slice(
-            state["v_scale"], mini["v_scale"], (0, 0, slot, 0))
-    out["lengths"] = state["lengths"].at[slot].set(prompt_len)
-    out["seg_count"] = state["seg_count"].at[slot].set(mini["seg_count"][0])
-    out["last_logits"] = state["last_logits"].at[slot].set(
-        logits[0].astype(jnp.float32))
-    out["active"] = state["active"].at[slot].set(True)
+        # scales (L, Hkv, B, S): lane axis 2, positions axis 3
+        out["k_scale"] = route(
+            mini["k_scale"], state["k_scale"], 2, 3, (1, 1, B, 1))
+        out["v_scale"] = route(
+            mini["v_scale"], state["v_scale"], 2, 3, (1, 1, B, 1))
+    routed_lens = (onehot @ prompt_lens.astype(jnp.float32)).astype(jnp.int32)
+    out["lengths"] = jnp.where(written, routed_lens, state["lengths"])
+    routed_segc = (onehot @ mini["seg_count"].astype(jnp.float32)).astype(jnp.int32)
+    out["seg_count"] = jnp.where(written, routed_segc, state["seg_count"])
+    out["last_logits"] = jnp.where(
+        written[:, None], onehot @ logits.astype(jnp.float32),
+        state["last_logits"])
+    out["active"] = state["active"] | written
     return out
 
 
@@ -316,6 +349,10 @@ class ServingEngine:
         self.kv_quant = bool(kv_quant)
         self.steps_per_sync = int(steps_per_sync)
         self.state = init_serving_state(cfg, self.slots, self.S, kv_quant)
+        # small admission bucket: prompts at or under this length prefill
+        # at this width, longer ones at the full window
+        self._admit_small = min(
+            ((64 + PROMPT_BUCKET - 1) // PROMPT_BUCKET) * PROMPT_BUCKET, self.S)
         self._temps = np.zeros((self.slots,), np.float32)
         self._key = jax.random.PRNGKey(seed)
         self._allowed = None
@@ -351,24 +388,36 @@ class ServingEngine:
 
     # -- scheduling --------------------------------------------------------
     def _admit_pending(self) -> None:
-        for slot in range(self.slots):
-            if self._slot_req[slot] is not None or not self.pending:
-                continue
-            req = self.pending.pop(0)
+        free = [s for s in range(self.slots) if self._slot_req[s] is None]
+        take = self.pending[: len(free)]
+        if not take:
+            return
+        self.pending = self.pending[len(take):]
+        longest = max(len(r.prompt) for r in take)
+        # fixed admission shapes — ONE small bucket plus the full window —
+        # so at most two compiles ever; shape-stable admission matters far
+        # more than trimmed prefill FLOPs on dispatch/compile-bound runtimes
+        bucket = self._admit_small if longest <= self._admit_small else self.S
+        N = self.slots
+        prompts = np.zeros((N, bucket), np.int32)
+        lens = np.ones((N,), np.int32)
+        slot_idx = np.zeros((N,), np.int32)
+        valid = np.zeros((N,), bool)
+        for i, (req, slot) in enumerate(zip(take, free)):
             P = len(req.prompt)
-            bucket = ((P + PROMPT_BUCKET - 1) // PROMPT_BUCKET) * PROMPT_BUCKET
-            bucket = min(bucket, self.S)
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, :P] = req.prompt
-            self.state = admit(
-                self.params, self.cfg, self.state,
-                jnp.asarray(slot, jnp.int32), jnp.asarray(padded),
-                jnp.asarray(P, jnp.int32),
-            )
+            prompts[i, :P] = req.prompt
+            lens[i] = P
+            slot_idx[i] = slot
+            valid[i] = True
             self._slot_req[slot] = req
             self._temps[slot] = req.temperature
             self.results[req.request_id] = RequestResult(
                 req.request_id, list(req.prompt))
+        self.state = admit_many(
+            self.params, self.cfg, self.state,
+            jnp.asarray(slot_idx), jnp.asarray(prompts),
+            jnp.asarray(lens), jnp.asarray(valid),
+        )
 
     def _retire(self, tokens: np.ndarray) -> None:
         """Consume one chunk of sampled tokens; free finished slots."""
@@ -424,7 +473,7 @@ __all__ = [
     "Request",
     "RequestResult",
     "ServingEngine",
-    "admit",
+    "admit_many",
     "deactivate",
     "init_serving_state",
     "serve_steps",
