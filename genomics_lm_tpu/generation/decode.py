@@ -1,7 +1,9 @@
 """Autoregressive decoding: jitted KV-cache step + uncached parity path.
 
-The KV cache is a static-shape pytree: per layer stacked keys/values of
-shape (L, B, Hkv, S, head_dim) plus a scalar length. ``prefill``
+The KV cache is a static-shape pytree: per layer stacked keys/values in
+the packed-lane layout (L, B, S, P) with ``P = Hkv * head_dim`` on the
+lane axis (zero lane padding — see ``ops/decode_attention.py``) plus a
+scalar length. ``prefill``
 runs one full forward (capturing every layer's K/V); ``decode_step`` then
 attends one new token against the cache — O(T) per token instead of the
 reference's O(T²) full re-forward (``generate.py:13-27``).
@@ -68,7 +70,9 @@ def init_cache(
     raw, never dequantized into a full-size temporary.
     """
     S = cfg.block_size if cache_size is None else int(cache_size)
-    shape = (cfg.n_layer, batch, cfg.kv_heads, S, cfg.head_dim)
+    # packed-lane layout: all heads' K (or V) for one position in one
+    # contiguous lane row — zero lane padding, one-row appends
+    shape = (cfg.n_layer, batch, S, cfg.kv_heads * cfg.head_dim)
     cache = {
         "k": jnp.zeros(shape, jnp.int8 if kv_quant else cfg.dtype),
         "v": jnp.zeros(shape, jnp.int8 if kv_quant else cfg.dtype),
@@ -77,9 +81,9 @@ def init_cache(
         "seg_count": jnp.zeros((batch,), jnp.int32),
     }
     if kv_quant:
-        # head-major (L, Hkv, B, S): the decode kernel's per-(block, head)
-        # scale block then has Mosaic-legal trailing (batch, S) dims
-        scale_shape = (cfg.n_layer, cfg.kv_heads, batch, S)
+        # (L, B, Hkv, S): the kernel's per-block scale has Mosaic-legal
+        # (Hkv sublane, S lane) trailing dims
+        scale_shape = (cfg.n_layer, batch, cfg.kv_heads, S)
         cache["k_scale"] = jnp.zeros(scale_shape, jnp.float32)
         cache["v_scale"] = jnp.zeros(scale_shape, jnp.float32)
     return cache
@@ -140,14 +144,12 @@ def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
 
         k_stack, k_scale = quantize_kv(k_stack)
         v_stack, v_scale = quantize_kv(v_stack)
-        cache["k_scale"] = cache["k_scale"].at[:, :, :, :T].set(
-            k_scale.transpose(0, 2, 1, 3)
-        )
-        cache["v_scale"] = cache["v_scale"].at[:, :, :, :T].set(
-            v_scale.transpose(0, 2, 1, 3)
-        )
-    cache["k"] = cache["k"].at[:, :, :, :T, :].set(k_stack)
-    cache["v"] = cache["v"].at[:, :, :, :T, :].set(v_stack)
+        cache["k_scale"] = cache["k_scale"].at[:, :, :, :T].set(k_scale)
+        cache["v_scale"] = cache["v_scale"].at[:, :, :, :T].set(v_scale)
+    L_, B_ = k_stack.shape[0], k_stack.shape[1]
+    pack = lambda s: s.transpose(0, 1, 3, 2, 4).reshape(L_, B_, T, -1)
+    cache["k"] = cache["k"].at[:, :, :T, :].set(pack(k_stack))
+    cache["v"] = cache["v"].at[:, :, :T, :].set(pack(v_stack))
     cache["seg"] = cache["seg"].at[:, :T].set(seg)
     cache["length"] = jnp.asarray(T, jnp.int32)
     if last_index is None:
@@ -232,19 +234,22 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
             k, k_sc = quantize_kv(k)  # int8 (B,Hkv,1,D), f32 (B,Hkv,1)
             v, v_sc = quantize_kv(v)
             new_k_scale = jax.lax.dynamic_update_slice(
-                new_k_scale, k_sc.transpose(1, 0, 2)[None], (layer, 0, 0, length)
+                new_k_scale, k_sc[None], (layer, 0, 0, length)
             )
             new_v_scale = jax.lax.dynamic_update_slice(
-                new_v_scale, v_sc.transpose(1, 0, 2)[None], (layer, 0, 0, length)
+                new_v_scale, v_sc[None], (layer, 0, 0, length)
             )
-        # single dynamic-update-slice on the stacked cache: XLA can alias
-        # this in place; the previous at[layer].set(dus(new_k[layer], ...))
-        # chain forced full-cache copies per layer (~6 ms/step at d384 b64)
+        # single dynamic-update-slice on the stacked packed cache: one
+        # contiguous (B, P) lane-row write that XLA aliases in place; the
+        # previous at[layer].set(dus(new_k[layer], ...)) chain forced
+        # full-cache copies per layer (~6 ms/step at d384 b64)
+        k_row = k[:, :, 0, :].reshape(B, -1)[None, :, None, :]  # (1,B,1,P)
+        v_row = v[:, :, 0, :].reshape(B, -1)[None, :, None, :]
         new_k = jax.lax.dynamic_update_slice(
-            new_k, k[None].astype(new_k.dtype), (layer, 0, 0, length, 0)
+            new_k, k_row.astype(new_k.dtype), (layer, 0, length, 0)
         )
         new_v = jax.lax.dynamic_update_slice(
-            new_v, v[None].astype(new_v.dtype), (layer, 0, 0, length, 0)
+            new_v, v_row.astype(new_v.dtype), (layer, 0, length, 0)
         )
         q_flat = q.reshape(B, cfg.n_head, cfg.head_dim)  # (B,H,1,D) → (B,H,D)
         ks = new_k_scale if kv_quant else None
@@ -252,11 +257,12 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
         if use_kernel:
             # fused Pallas kernel: dequant-on-load + scores + masked softmax
             # + PV in one VMEM pass — HBM traffic is one raw cache read
-            y = decode_attention(q_flat, new_k, new_v, mask_add, layer, ks, vs)
+            y = decode_attention(q_flat, new_k, new_v, mask_add, layer, ks, vs,
+                                 kv_heads=cfg.kv_heads)
         else:
             y = decode_attention_xla(
                 q_flat, new_k, new_v, mask_add, layer, ks, vs,
-                compute_dtype=cfg.dtype,
+                compute_dtype=cfg.dtype, kv_heads=cfg.kv_heads,
             )
         y = y.astype(cfg.dtype).reshape(B, 1, cfg.n_embd)
         x = x + _linear(block_p["attn"]["proj"], y)

@@ -70,7 +70,9 @@ def init_serving_state(
 ) -> dict:
     """Empty ragged serving state for ``slots`` concurrent sequences."""
     S = cfg.block_size if cache_size is None else int(cache_size)
-    shape = (cfg.n_layer, slots, cfg.kv_heads, S, cfg.head_dim)
+    # packed-lane layout (see ops/decode_attention.py): all heads' K/V for
+    # one position in one lane row — zero lane padding
+    shape = (cfg.n_layer, slots, S, cfg.kv_heads * cfg.head_dim)
     state = {
         "k": jnp.zeros(shape, jnp.int8 if kv_quant else cfg.dtype),
         "v": jnp.zeros(shape, jnp.int8 if kv_quant else cfg.dtype),
@@ -81,9 +83,9 @@ def init_serving_state(
         "active": jnp.zeros((slots,), jnp.bool_),
     }
     if kv_quant:
-        # head-major scales, matching generation.decode / the Pallas kernel
-        state["k_scale"] = jnp.zeros((cfg.n_layer, cfg.kv_heads, slots, S), jnp.float32)
-        state["v_scale"] = jnp.zeros((cfg.n_layer, cfg.kv_heads, slots, S), jnp.float32)
+        # (L, B, Hkv, S) scales, matching generation.decode / the kernel
+        state["k_scale"] = jnp.zeros((cfg.n_layer, slots, cfg.kv_heads, S), jnp.float32)
+        state["v_scale"] = jnp.zeros((cfg.n_layer, slots, cfg.kv_heads, S), jnp.float32)
     return state
 
 
@@ -135,16 +137,16 @@ def admit_many(params, cfg: CodonGPTConfig, state: dict, slot_idx: jnp.ndarray,
             old, merged, (0,) * old.ndim)
 
     out = dict(state)
-    # caches (L, B, Hkv, S, D): lane axis 1, positions axis 3
-    out["k"] = route(mini["k"], state["k"], 1, 3, (1, B, 1, 1, 1))
-    out["v"] = route(mini["v"], state["v"], 1, 3, (1, B, 1, 1, 1))
+    # packed caches (L, B, S, P): slot axis 1, positions axis 2
+    out["k"] = route(mini["k"], state["k"], 1, 2, (1, B, 1, 1))
+    out["v"] = route(mini["v"], state["v"], 1, 2, (1, B, 1, 1))
     out["seg"] = route(mini["seg"], state["seg"], 0, 1, (B, 1))
     if kv_quant:
-        # scales (L, Hkv, B, S): lane axis 2, positions axis 3
+        # scales (L, B, Hkv, S): slot axis 1, positions axis 3
         out["k_scale"] = route(
-            mini["k_scale"], state["k_scale"], 2, 3, (1, 1, B, 1))
+            mini["k_scale"], state["k_scale"], 1, 3, (1, B, 1, 1))
         out["v_scale"] = route(
-            mini["v_scale"], state["v_scale"], 2, 3, (1, 1, B, 1))
+            mini["v_scale"], state["v_scale"], 1, 3, (1, B, 1, 1))
     routed_lens = (onehot @ prompt_lens.astype(jnp.float32)).astype(jnp.int32)
     out["lengths"] = jnp.where(written, routed_lens, state["lengths"])
     routed_segc = (onehot @ mini["seg_count"].astype(jnp.float32)).astype(jnp.int32)
@@ -221,21 +223,23 @@ def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray)
         if kv_quant:
             k, k_sc = quantize_kv(k)
             v, v_sc = quantize_kv(v)
-            new_k_scale = new_k_scale.at[layer, :, bidx, wpos].set(k_sc[:, :, 0])
-            new_v_scale = new_v_scale.at[layer, :, bidx, wpos].set(v_sc[:, :, 0])
-        new_k = new_k.at[layer, bidx, :, wpos, :].set(
-            k[:, :, 0, :].astype(new_k.dtype))
-        new_v = new_v.at[layer, bidx, :, wpos, :].set(
-            v[:, :, 0, :].astype(new_v.dtype))
+            new_k_scale = new_k_scale.at[layer, bidx, :, wpos].set(k_sc[:, :, 0])
+            new_v_scale = new_v_scale.at[layer, bidx, :, wpos].set(v_sc[:, :, 0])
+        # one contiguous packed lane row per slot: (B, P)
+        new_k = new_k.at[layer, bidx, wpos, :].set(
+            k[:, :, 0, :].reshape(B, -1).astype(new_k.dtype))
+        new_v = new_v.at[layer, bidx, wpos, :].set(
+            v[:, :, 0, :].reshape(B, -1).astype(new_v.dtype))
         q_flat = q.reshape(B, cfg.n_head, cfg.head_dim)
         ks = new_k_scale if kv_quant else None
         vs = new_v_scale if kv_quant else None
         if use_kernel:
-            y = decode_attention(q_flat, new_k, new_v, mask_add, layer, ks, vs)
+            y = decode_attention(q_flat, new_k, new_v, mask_add, layer, ks, vs,
+                                 kv_heads=cfg.kv_heads)
         else:
             y = decode_attention_xla(
                 q_flat, new_k, new_v, mask_add, layer, ks, vs,
-                compute_dtype=cfg.dtype,
+                compute_dtype=cfg.dtype, kv_heads=cfg.kv_heads,
             )
         y = y.astype(cfg.dtype).reshape(B, 1, cfg.n_embd)
         x = x + _linear(block_p["attn"]["proj"], y)

@@ -24,8 +24,9 @@ from genomics_lm_tpu.ops.quant import quantize_kv
 
 
 def _rand_cache(rng, L, B, Hkv, S, D):
-    k = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+    """Packed-lane (L, B, S, Hkv*D) caches."""
+    k = jnp.asarray(rng.normal(size=(L, B, S, Hkv * D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(L, B, S, Hkv * D)), jnp.float32)
     return k, v
 
 
@@ -42,24 +43,43 @@ class TestKernelParity:
         mask[2, 10:40] = -1e30  # per-row structure (segment semantics)
         mask = jnp.asarray(mask)
         for layer in (0, L - 1):
-            got = decode_attention(q, k, v, mask, layer, interpret=True)
-            want = decode_attention_xla(q, k, v, mask, layer)
+            got = decode_attention(q, k, v, mask, layer, kv_heads=Hkv,
+                                   interpret=True)
+            want = decode_attention_xla(q, k, v, mask, layer, kv_heads=Hkv)
             np.testing.assert_allclose(got, want, atol=2e-6)
 
     def test_int8_matches_xla(self):
         rng = np.random.default_rng(1)
         L, B, Hkv, S, D = 2, 6, 4, 128, 48
-        k, v = _rand_cache(rng, L, B, Hkv, S, D)
-        kq, ks = quantize_kv(k)
-        vq, vs = quantize_kv(v)
-        ks = ks.transpose(0, 2, 1, 3)  # head-major scale layout (L,Hkv,B,S)
-        vs = vs.transpose(0, 2, 1, 3)
+        # quantize per head vector, then pack heads into lanes
+        kh = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+        vh = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+        kq, ks = quantize_kv(kh)  # scales (L, B, Hkv, S)
+        vq, vs = quantize_kv(vh)
+        pack = lambda a: a.transpose(0, 1, 3, 2, 4).reshape(L, B, S, Hkv * D)
+        kq, vq = pack(kq), pack(vq)
         q = jnp.asarray(rng.normal(size=(B, Hkv, D)), jnp.float32)
         mask = jnp.where(jnp.arange(S)[None, :] < 100, 0.0, -1e30).astype(
             jnp.float32
         ) * jnp.ones((B, 1))
         got = decode_attention(q, kq, vq, mask, 1, ks, vs, interpret=True)
         want = decode_attention_xla(q, kq, vq, mask, 1, ks, vs)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_int8_gqa_matches_xla(self):
+        # G = 2: scale rows must broadcast per head group
+        rng = np.random.default_rng(7)
+        L, B, Hkv, S, D = 2, 8, 2, 64, 48
+        kh = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+        vh = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+        kq, ks = quantize_kv(kh)
+        vq, vs = quantize_kv(vh)
+        pack = lambda a: a.transpose(0, 1, 3, 2, 4).reshape(L, B, S, Hkv * D)
+        kq, vq = pack(kq), pack(vq)
+        q = jnp.asarray(rng.normal(size=(B, Hkv * 2, D)), jnp.float32)
+        mask = jnp.zeros((B, S), jnp.float32)
+        got = decode_attention(q, kq, vq, mask, 0, ks, vs, interpret=True)
+        want = decode_attention_xla(q, kq, vq, mask, 0, ks, vs)
         np.testing.assert_allclose(got, want, atol=2e-6)
 
     def test_single_valid_slot(self):
@@ -69,8 +89,9 @@ class TestKernelParity:
         k, v = _rand_cache(rng, L, B, Hkv, S, D)
         q = jnp.asarray(rng.normal(size=(B, Hkv, D)), jnp.float32)
         mask = jnp.full((B, S), -1e30, jnp.float32).at[:, 7].set(0.0)
-        got = decode_attention(q, k, v, mask, 0, interpret=True)
-        np.testing.assert_allclose(got, v[0, :, :, 7, :], atol=2e-6)
+        got = decode_attention(q, k, v, mask, 0, kv_heads=Hkv, interpret=True)
+        want = v[0, :, 7, :].reshape(B, Hkv, D)
+        np.testing.assert_allclose(got, want, atol=2e-6)
 
 
 class TestEndToEnd:

@@ -127,7 +127,7 @@ def test_quantized_weights_plus_int8_cache_end_to_end():
 def test_init_cache_quant_shapes():
     _, cfg = make_model()
     c = init_cache(cfg, batch=3, cache_size=16, kv_quant=True)
-    assert c["k"].shape == (cfg.n_layer, 3, cfg.kv_heads, 16, cfg.head_dim)
-    # head-major scale layout (L, Hkv, B, S) — see ops/decode_attention.py
-    assert c["k_scale"].shape == (cfg.n_layer, cfg.kv_heads, 3, 16)
+    assert c["k"].shape == (cfg.n_layer, 3, 16, cfg.kv_heads * cfg.head_dim)
+    # packed-lane cache, (L, B, Hkv, S) scales — see ops/decode_attention.py
+    assert c["k_scale"].shape == (cfg.n_layer, 3, cfg.kv_heads, 16)
     assert c["v_scale"].dtype == jnp.float32

@@ -148,8 +148,8 @@ class TestServingEngine:
     def test_state_shapes(self):
         _, cfg = make_model()
         st = init_serving_state(cfg, slots=3, cache_size=64, kv_quant=True)
-        assert st["k"].shape == (2, 3, cfg.kv_heads, 64, cfg.head_dim)
-        assert st["k_scale"].shape == (2, cfg.kv_heads, 3, 64)
+        assert st["k"].shape == (2, 3, 64, cfg.kv_heads * cfg.head_dim)
+        assert st["k_scale"].shape == (2, 3, cfg.kv_heads, 64)
         assert st["lengths"].shape == (3,)
         assert not bool(st["active"].any())
 
