@@ -68,7 +68,9 @@ def _pick_block_b(B: int, quant: bool) -> int:
     per-byte DMA). Blocks whose sublane dim is the batch (the mask spec)
     must be 8-divisible or equal to the full batch, so the block is either
     a multiple-of-8 divisor of B or B itself."""
-    preferred = 8
+    import os
+
+    preferred = int(os.environ.get("GLMTPU_DECODE_BLOCK_B", "0")) or 8
     for b in range(min(preferred, B), 7, -8):
         if B % b == 0 and b % 8 == 0:
             return b
