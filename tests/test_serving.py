@@ -145,6 +145,49 @@ class TestServingEngine:
         with pytest.raises(ValueError):
             ServingEngine(params, cfg, max_seq_len=128)  # > block_size
 
+    def test_admit_many_routing(self):
+        """Direct admit_many semantics: valid lanes install, invalid lanes
+        are inert, untouched slots keep their state bit-for-bit."""
+        from genomics_lm_tpu.serving.engine import admit_many
+
+        params, cfg = make_model()
+        st = init_serving_state(cfg, slots=4, cache_size=32, kv_quant=True)
+        # pre-occupy slot 1 with sentinel state that must survive
+        st["lengths"] = st["lengths"].at[1].set(7)
+        st["active"] = st["active"].at[1].set(True)
+        st["k"] = st["k"].at[:, 1].set(3)
+        before_k_slot1 = np.asarray(st["k"][:, 1])
+
+        rng = np.random.default_rng(0)
+        N, P = 4, 16
+        prompts = np.zeros((N, P), np.int32)
+        prompts[0, :5] = rng.integers(4, 68, 5)
+        prompts[2, :9] = rng.integers(4, 68, 9)
+        lens = np.array([5, 1, 9, 1], np.int32)
+        slot_idx = np.array([3, 0, 0, 0], np.int32)  # invalid lanes point anywhere
+        valid = np.array([True, False, True, False])
+        out = admit_many(params, cfg, st, jnp.asarray(slot_idx),
+                         jnp.asarray(prompts), jnp.asarray(lens),
+                         jnp.asarray(valid))
+        # valid lanes landed
+        assert int(out["lengths"][3]) == 5 and bool(out["active"][3])
+        assert int(out["lengths"][0]) == 9 and bool(out["active"][0])
+        # occupied slot untouched (including its cache rows)
+        assert int(out["lengths"][1]) == 7 and bool(out["active"][1])
+        np.testing.assert_array_equal(np.asarray(out["k"][:, 1]), before_k_slot1)
+        # slot 2 never written
+        assert int(out["lengths"][2]) == 0 and not bool(out["active"][2])
+        # installed K prefix is the prefill K (exact int8 round-trip)
+        from genomics_lm_tpu.generation.decode import prefill
+
+        _, mini, _ = prefill(params, cfg, jnp.asarray(prompts), P, True,
+                             jnp.maximum(jnp.asarray(lens) - 1, 0))
+        np.testing.assert_array_equal(
+            np.asarray(out["k"][:, 3, :P]), np.asarray(mini["k"][:, 0]))
+        np.testing.assert_array_equal(
+            np.asarray(out["k_scale"][:, 3, :, :P]),
+            np.asarray(mini["k_scale"][:, 0]))
+
     def test_state_shapes(self):
         _, cfg = make_model()
         st = init_serving_state(cfg, slots=3, cache_size=64, kv_quant=True)
