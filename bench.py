@@ -181,7 +181,12 @@ def run_real_pipeline() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from genomics_lm_tpu.data.datasets import EpochPlan, PackedDataset, grouped_batches
+    from genomics_lm_tpu.data.datasets import (
+        DevicePrefetcher,
+        EpochPlan,
+        PackedDataset,
+        grouped_batches,
+    )
 
     cfg, params, opt_state, step = build_model_and_step()
     G, B = 16, 8
@@ -194,9 +199,16 @@ def run_real_pipeline() -> dict:
         ds = PackedDataset(npz, use_mmap=True)
         key = jax.random.PRNGKey(1337)
 
+        def put_group(item):
+            gx, gy, _ = item
+            # device transfer + host nonpad count in the worker thread, so
+            # per-step transfer round trips overlap with the running step
+            return jnp.asarray(gx), jnp.asarray(gy), int(np.sum(gy != 0))
+
         def epoch_groups(epoch: int):
             plan = EpochPlan(ds, batch_size=B, seed=1337, epoch=epoch)
-            yield from grouped_batches(plan, G)
+            full = (g for g in grouped_batches(plan, G) if g[0].shape[0] == G)
+            return DevicePrefetcher(full, put_group, depth=2)
 
         groups = epoch_groups(1)
         done = 0
@@ -206,16 +218,13 @@ def run_real_pipeline() -> dict:
         epoch = 1
         while done < n_steps:
             try:
-                gx, gy, _ = next(groups)
+                dx, dy, nonpad = next(groups)
             except StopIteration:
                 epoch += 1
                 groups = epoch_groups(epoch)
                 continue
-            if gx.shape[0] != G:
-                continue  # trailing partial group: different jit shape
             key, k = jax.random.split(key)
-            batch = {"x": jnp.asarray(gx), "y": jnp.asarray(gy)}
-            nonpad = int(np.sum(gy != 0))
+            batch = {"x": dx, "y": dy}
             params, opt_state, metrics = step(
                 params, opt_state, batch, k, jnp.float32(1.0)
             )
@@ -225,6 +234,7 @@ def run_real_pipeline() -> dict:
                 t0 = time.perf_counter()
             elif done > WARMUP_STEPS:
                 nonpad_measured += nonpad
+        groups.close()
         hard_sync(metrics)
         elapsed = time.perf_counter() - t0
 

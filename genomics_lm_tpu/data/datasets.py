@@ -352,7 +352,89 @@ def grouped_batches(
         yield emit()
 
 
+class DevicePrefetcher:
+    """Background-thread host→device prefetch over a batch iterator.
+
+    Wraps an iterator of host batches; a worker thread applies
+    ``transform`` (typically the host→device put: ``jnp.asarray`` or a
+    sharded ``device_put``) and fills a bounded queue ``depth`` deep. The
+    consumer then pops device-resident batches, so transfer latency —
+    which on relayed runtimes is a per-step round trip that otherwise
+    serializes with compute — overlaps with the in-flight step. Batches,
+    order, and numerics are identical to the unprefetched iterator; this
+    is pure latency hiding.
+
+    Use as an iterator; call ``close()`` (or use as a context manager) on
+    early exit so the worker does not linger on a full queue.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, iterator, transform, depth: int = 2):
+        import queue as _queue
+        import threading
+
+        self._queue_mod = _queue
+        self._q = _queue.Queue(maxsize=max(1, int(depth)))
+        self._err: BaseException | None = None
+        self._stop = False
+        self._worker = threading.Thread(
+            target=self._work, args=(iterator, transform), daemon=True
+        )
+        self._worker.start()
+
+    def _work(self, iterator, transform):
+        try:
+            for item in iterator:
+                out = transform(item)
+                while not self._stop:
+                    try:
+                        self._q.put(out, timeout=0.1)
+                        break
+                    except self._queue_mod.Full:
+                        continue
+                if self._stop:
+                    return
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            while not self._stop:
+                try:
+                    self._q.put(self._SENTINEL, timeout=0.1)
+                    break
+                except self._queue_mod.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        """Stop the worker and drop queued batches (early-exit path)."""
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 __all__ = [
+    "DevicePrefetcher",
     "EpochPlan",
     "PackedDataset",
     "bucket_for_lengths",

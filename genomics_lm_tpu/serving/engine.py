@@ -423,11 +423,18 @@ class ServingEngine:
             jnp.asarray(lens), jnp.asarray(valid),
         )
 
-    def _retire(self, tokens: np.ndarray) -> None:
-        """Consume one chunk of sampled tokens; free finished slots."""
+    def _retire(self, tokens: np.ndarray,
+                snapshot: list[Request | None] | None = None) -> None:
+        """Consume one chunk of sampled tokens; free finished slots.
+
+        ``snapshot`` is the slot→request mapping at the chunk's dispatch
+        time. Retiring against it (with an identity check against the
+        live mapping) makes late retirement safe: tokens for a slot that
+        has since been re-admitted to a different request are dropped
+        instead of being credited to the new request."""
         finished = np.zeros((self.slots,), bool)
-        for slot, req in enumerate(self._slot_req):
-            if req is None:
+        for slot, req in enumerate(snapshot or self._slot_req):
+            if req is None or self._slot_req[slot] is not req:
                 continue
             res = self.results[req.request_id]
             for t in tokens[slot]:
@@ -461,12 +468,40 @@ class ServingEngine:
         self._retire(np.asarray(toks))
         return int(self.n_active and n * self.slots)
 
-    def run(self, max_chunks: int = 10_000) -> dict[int, RequestResult]:
-        """Drain the queue; returns {request_id: RequestResult}."""
+    def run(self, max_chunks: int = 10_000, *,
+            pipelined: bool = True) -> dict[int, RequestResult]:
+        """Drain the queue; returns {request_id: RequestResult}.
+
+        ``pipelined`` keeps one decode chunk in flight: while chunk N runs
+        on the device, the host fetches and retires chunk N-1 and admits
+        into the state that chunk N+1 will see. This hides the per-chunk
+        dispatch + fetch latency (dominant on relayed runtimes) at the
+        cost of finished slots decoding one extra (discarded) chunk before
+        they free. Per-request outputs are identical either way: a slot's
+        tokens depend only on its own admission and the shared key
+        schedule, and everything past a request's stop/budget is discarded
+        on the host exactly as with intra-chunk overshoot."""
+        inflight = None  # (tokens, slot→request snapshot at dispatch)
         for _ in range(max_chunks):
-            if not self.pending and self.n_active == 0:
+            if not self.pending and self.n_active == 0 and inflight is None:
                 break
-            self.step()
+            self._admit_pending()
+            chunk = None
+            if self.n_active:
+                n = self.steps_per_sync
+                self._key, sub = jax.random.split(self._key)
+                self.state, toks = serve_steps(
+                    self.params, self.cfg, self.state, n,
+                    jnp.asarray(self._temps), sub, self._allowed,
+                )
+                chunk = (toks, list(self._slot_req))
+            if inflight is not None:
+                # fetch overlaps with the chunk dispatched above
+                self._retire(np.asarray(inflight[0]), inflight[1])
+            if pipelined:
+                inflight = chunk
+            elif chunk is not None:
+                self._retire(np.asarray(chunk[0]), chunk[1])
         else:
             raise RuntimeError("serving run did not drain within max_chunks")
         return self.results

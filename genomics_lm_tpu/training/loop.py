@@ -27,6 +27,7 @@ the reference's multi-task trainer rollback-to-group-boundary behavior
 
 from __future__ import annotations
 
+import contextlib
 import csv
 import json
 import math
@@ -42,6 +43,7 @@ import numpy as np
 from genomics_lm_tpu.data import manifest as manifest_lib
 from genomics_lm_tpu.data import vocabulary as vocab_lib
 from genomics_lm_tpu.data.datasets import (
+    DevicePrefetcher,
     EpochPlan,
     PackedDataset,
     dataset_length_audit,
@@ -627,72 +629,83 @@ def run_training(
             mb_seen = 0
             epoch_start = time.perf_counter()
 
-            for gx, gy, mb_index in grouped_batches(
+            prefetch_depth = int(cfg.get("prefetch_batches", 2))
+            raw_groups = grouped_batches(
                 plan, gacc, host_id=host_id, n_hosts=n_hosts,
                 skip_microbatches=skip, pad_batch_to=_ceil_div_pad(batch_size, n_hosts),
-            ):
-                key, step_key = jax.random.split(key)
-                batch = {"x": put_batch(gx), "y": put_batch(gy)}
-                if loss_cfg.replay_enabled:
-                    rmask = np.zeros(gx.shape[0], dtype=bool)
-                    for j in range(gx.shape[0]):
-                        if (mb_index - gx.shape[0] + j + 1) % replay_every == 0:
-                            rmask[j] = True
-                    rx, rlabels = next(replay_iter)
-                    batch["replay_x"] = jnp.asarray(rx)
-                    batch["replay_labels"] = jnp.asarray(rlabels)
-                    batch["replay_mask"] = jnp.asarray(rmask)
-                lr_scale = jnp.float32(
-                    1.0 if bundle.plateau is None else bundle.plateau.scale(step)
-                )
-                params, opt_state, metrics = train_step(
-                    params, opt_state, batch, step_key, lr_scale
-                )
-                applied = bool(metrics["applied"])
-                fin = int(metrics["finite_microbatches"])
-                if applied:
-                    step += 1
-                    consumed_train_tokens += int(metrics["nonpad_tokens"])
-                    epoch_train_metrics["total_loss_sum"] += float(metrics["total_loss_sum"])
-                    epoch_train_metrics["next_loss_sum"] += float(metrics["next_loss_sum"])
-                    epoch_train_metrics["microbatches"] += int(metrics["committed_microbatches"])
-                    if epoch_train_metrics["initial_loss"] is None:
-                        epoch_train_metrics["initial_loss"] = float(metrics["first_loss"])
-                        print(f"[train] initial_loss={epoch_train_metrics['initial_loss']:.6f}")
-                    for o in multi_offset_weights:
-                        offset_sums[o] += float(metrics[f"offset_{o}_sum"])
-                    offset_cnt += int(metrics["committed_microbatches"])
-                    if loss_cfg.termination_enabled:
-                        term_sum += float(metrics["term_loss_sum"])
-                        term_cnt += int(metrics["committed_microbatches"])
+            )
+            stage = lambda g: (put_batch(g[0]), put_batch(g[1]), g[2], g[0].shape[0])
+            if prefetch_depth:
+                # background-thread host→device staging: transfer round
+                # trips overlap the in-flight step (identical batches and
+                # numerics — pure latency hiding; see data.datasets)
+                batch_iter = DevicePrefetcher(raw_groups, stage, depth=prefetch_depth)
+            else:
+                batch_iter = (stage(g) for g in raw_groups)
+            with contextlib.closing(batch_iter):
+                for bx, by, mb_index, n_mb in batch_iter:
+                    key, step_key = jax.random.split(key)
+                    batch = {"x": bx, "y": by}
                     if loss_cfg.replay_enabled:
-                        replay_sum += float(metrics["replay_loss_sum"])
-                        replay_cnt += int(metrics["replay_count"])
-                else:
-                    discarded = int(metrics["discarded_before_nonfinite"])
-                    health.record_abort(discarded)
-                    print(
-                        "[train] aborted nonfinite accumulation group at "
-                        f"microbatch={mb_index}; discarded_finite_microbatches={discarded} "
-                        f"aborted_groups={health.aborted_groups}"
+                        rmask = np.zeros(n_mb, dtype=bool)
+                        for j in range(n_mb):
+                            if (mb_index - n_mb + j + 1) % replay_every == 0:
+                                rmask[j] = True
+                        rx, rlabels = next(replay_iter)
+                        batch["replay_x"] = jnp.asarray(rx)
+                        batch["replay_labels"] = jnp.asarray(rlabels)
+                        batch["replay_mask"] = jnp.asarray(rmask)
+                    lr_scale = jnp.float32(
+                        1.0 if bundle.plateau is None else bundle.plateau.scale(step)
                     )
-                    if health.exceeds_limit(max_nonfinite_groups):
-                        raise NonfiniteGroupLimitError(
-                            "nonfinite accumulation groups exceeded configured maximum "
-                            f"{max_nonfinite_groups}: {health.aborted_groups}"
+                    params, opt_state, metrics = train_step(
+                        params, opt_state, batch, step_key, lr_scale
+                    )
+                    applied = bool(metrics["applied"])
+                    fin = int(metrics["finite_microbatches"])
+                    if applied:
+                        step += 1
+                        consumed_train_tokens += int(metrics["nonpad_tokens"])
+                        epoch_train_metrics["total_loss_sum"] += float(metrics["total_loss_sum"])
+                        epoch_train_metrics["next_loss_sum"] += float(metrics["next_loss_sum"])
+                        epoch_train_metrics["microbatches"] += int(metrics["committed_microbatches"])
+                        if epoch_train_metrics["initial_loss"] is None:
+                            epoch_train_metrics["initial_loss"] = float(metrics["first_loss"])
+                            print(f"[train] initial_loss={epoch_train_metrics['initial_loss']:.6f}")
+                        for o in multi_offset_weights:
+                            offset_sums[o] += float(metrics[f"offset_{o}_sum"])
+                        offset_cnt += int(metrics["committed_microbatches"])
+                        if loss_cfg.termination_enabled:
+                            term_sum += float(metrics["term_loss_sum"])
+                            term_cnt += int(metrics["committed_microbatches"])
+                        if loss_cfg.replay_enabled:
+                            replay_sum += float(metrics["replay_loss_sum"])
+                            replay_cnt += int(metrics["replay_count"])
+                    else:
+                        discarded = int(metrics["discarded_before_nonfinite"])
+                        health.record_abort(discarded)
+                        print(
+                            "[train] aborted nonfinite accumulation group at "
+                            f"microbatch={mb_index}; discarded_finite_microbatches={discarded} "
+                            f"aborted_groups={health.aborted_groups}"
                         )
-                current_resume_microbatch_idx = mb_index
-                mb_seen += gx.shape[0]
-                if progress_every and mb_seen and mb_seen % progress_every < gx.shape[0]:
-                    elapsed = time.perf_counter() - epoch_start
-                    print(
-                        f"[train] progress: {mb_index}/{microbatches_per_epoch} "
-                        f"speed: {mb_seen * batch_size / max(elapsed, 1e-9):.2f} seq/sec"
-                    )
-                if applied and periodic_ckpt.should_save(step):
-                    jax.block_until_ready(params)
-                    save_last(epoch_idx, reason="periodic")
-                wall_timer.check()
+                        if health.exceeds_limit(max_nonfinite_groups):
+                            raise NonfiniteGroupLimitError(
+                                "nonfinite accumulation groups exceeded configured maximum "
+                                f"{max_nonfinite_groups}: {health.aborted_groups}"
+                            )
+                    current_resume_microbatch_idx = mb_index
+                    mb_seen += n_mb
+                    if progress_every and mb_seen and mb_seen % progress_every < n_mb:
+                        elapsed = time.perf_counter() - epoch_start
+                        print(
+                            f"[train] progress: {mb_index}/{microbatches_per_epoch} "
+                            f"speed: {mb_seen * batch_size / max(elapsed, 1e-9):.2f} seq/sec"
+                        )
+                    if applied and periodic_ckpt.should_save(step):
+                        jax.block_until_ready(params)
+                        save_last(epoch_idx, reason="periodic")
+                    wall_timer.check()
 
             mem = device_memory_stats()
             if mem.get("peak_bytes_in_use"):

@@ -73,6 +73,23 @@ class TestServingEngine:
         packed.submit(others[2], 6)
         assert packed.run()[rid2].tokens == alone_tokens
 
+    def test_pipelined_drain_matches_sync(self):
+        """pipelined=True (one chunk in flight, late retirement) must
+        deliver identical per-request tokens to the synchronous drain,
+        including through slot reuse under queue pressure."""
+        params, cfg = make_model()
+        rng = np.random.default_rng(6)
+        reqs = [([1] + [int(t) for t in rng.integers(4, 68, n)], b)
+                for n, b in [(6, 8), (12, 5), (4, 14), (9, 7), (15, 4), (5, 11)]]
+
+        def drain(pipelined):
+            eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4)
+            rids = [eng.submit(p, b) for p, b in reqs]
+            res = eng.run(pipelined=pipelined)
+            return [res[r].tokens for r in rids]
+
+        assert drain(True) == drain(False)
+
     def test_stop_ids_retire_and_free_slot(self):
         params, cfg = make_model()
         prompt = [1, 10, 11, 12]
