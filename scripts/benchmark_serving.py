@@ -45,6 +45,8 @@ def main(argv=None) -> int:
                     help="int8 KV cache with per-vector scales")
     ap.add_argument("--int8_weights", action="store_true",
                     help="weight-only int8 block linears (ops/quant.py)")
+    ap.add_argument("--sync", action="store_true",
+                    help="synchronous drain (no chunk pipelining)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -89,7 +91,7 @@ def main(argv=None) -> int:
         )
         for prompt, budget in reqs:
             eng.submit(prompt, budget, temperature=args.temperature)
-        results = eng.run()
+        results = eng.run(pipelined=not args.sync)
         return sum(len(r.tokens) for r in results.values())
 
     # compile + warm on a small queue (same shapes: bucketed prompts)

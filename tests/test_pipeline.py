@@ -127,3 +127,39 @@ class TestPrepareDataset:
             (tmp_path / "runs" / "pipe-train" / "vocabulary.json").read_text()
         )
         assert vocab_json["size"] == 68
+
+
+class TestDevicePrefetcher:
+    def test_order_and_values_preserved(self):
+        from genomics_lm_tpu.data.datasets import DevicePrefetcher
+
+        items = list(range(50))
+        out = list(DevicePrefetcher(iter(items), lambda x: x * 2, depth=3))
+        assert out == [x * 2 for x in items]
+
+    def test_error_propagates(self):
+        from genomics_lm_tpu.data.datasets import DevicePrefetcher
+
+        def gen():
+            yield 1
+            raise RuntimeError("loader exploded")
+
+        pf = DevicePrefetcher(gen(), lambda x: x, depth=2)
+        assert next(pf) == 1
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="loader exploded"):
+            list(pf)
+
+    def test_close_unblocks_worker(self):
+        import time as _time
+
+        from genomics_lm_tpu.data.datasets import DevicePrefetcher
+
+        pf = DevicePrefetcher(iter(range(1000)), lambda x: x, depth=1)
+        assert next(pf) == 0
+        pf.close()
+        deadline = _time.time() + 5.0
+        while pf._worker.is_alive() and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert not pf._worker.is_alive()
