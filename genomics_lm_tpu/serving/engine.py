@@ -62,6 +62,31 @@ from genomics_lm_tpu.generation.decode import prefill
 PROMPT_BUCKET = 16  # admission prompts right-pad to multiples of this
 
 
+def serving_state_sharding(state: dict, mesh) -> dict:
+    """NamedSharding tree for the serving state under tensor parallelism.
+
+    The packed cache's lane axis (Hkv·D) and the scale arrays' head axis
+    shard over the model axis — each shard owns its heads' K/V lanes,
+    which is exactly the Megatron attention-head split, so the decode
+    einsums partition with NO cross-device communication until the
+    row-parallel attention output projection (GSPMD inserts that psum).
+    Everything else (slot bookkeeping, logits) replicates."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from genomics_lm_tpu.parallel.mesh import MODEL_AXIS
+
+    specs = {
+        "k": P(None, None, None, MODEL_AXIS),
+        "v": P(None, None, None, MODEL_AXIS),
+        "k_scale": P(None, None, MODEL_AXIS, None),
+        "v_scale": P(None, None, MODEL_AXIS, None),
+    }
+    return {
+        name: NamedSharding(mesh, specs.get(name, P()))
+        for name in state
+    }
+
+
 def init_serving_state(
     cfg: CodonGPTConfig,
     slots: int,
@@ -343,8 +368,8 @@ class ServingEngine:
         steps_per_sync: int = 16,
         allowed_ids: list[int] | None = None,
         seed: int = 0,
+        mesh=None,
     ):
-        self.params = params
         self.cfg = cfg
         self.slots = int(slots)
         self.S = int(max_seq_len or cfg.block_size)
@@ -352,7 +377,32 @@ class ServingEngine:
             raise ValueError("max_seq_len exceeds model block_size")
         self.kv_quant = bool(kv_quant)
         self.steps_per_sync = int(steps_per_sync)
+        self.mesh = mesh
+        tp = 1
+        if mesh is not None:
+            from genomics_lm_tpu.parallel.mesh import MODEL_AXIS
+
+            tp = int(mesh.shape.get(MODEL_AXIS, 1))
+        if tp > 1:
+            # Megatron head-split serving: params column/row-sharded, the
+            # packed cache lane-sharded (serving_state_sharding). The
+            # decode path must be the einsum one — GSPMD partitions
+            # einsums along the sharded head/lane axes but cannot
+            # partition a pallas_call.
+            import dataclasses
+
+            from genomics_lm_tpu.parallel.sharding import tp_param_sharding
+
+            if cfg.kv_heads % tp or (cfg.kv_heads * cfg.head_dim) % tp:
+                raise ValueError(
+                    f"kv_heads {cfg.kv_heads} must divide over model={tp}")
+            self.cfg = cfg = dataclasses.replace(cfg, attention_impl="xla")
+            params = jax.device_put(params, tp_param_sharding(params, mesh))
+        self.params = params
         self.state = init_serving_state(cfg, self.slots, self.S, kv_quant)
+        if tp > 1:
+            self.state = jax.device_put(
+                self.state, serving_state_sharding(self.state, mesh))
         # small admission bucket: prompts at or under this length prefill
         # at this width, longer ones at the full window
         self._admit_small = min(

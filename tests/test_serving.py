@@ -73,6 +73,29 @@ class TestServingEngine:
         packed.submit(others[2], 6)
         assert packed.run()[rid2].tokens == alone_tokens
 
+    @pytest.mark.parametrize("kv_quant", [False, True])
+    def test_tensor_parallel_engine_matches_single_device(self, kv_quant):
+        """Megatron head-split serving over a ('model',) mesh must emit
+        exactly the single-device engine's greedy tokens (GSPMD partitions
+        the einsum decode; the psum after the attention/MLP row-parallel
+        projections is numerically exact here)."""
+        from genomics_lm_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+        params, cfg = make_model()
+        rng = np.random.default_rng(11)
+        reqs = [([1] + [int(t) for t in rng.integers(4, 68, n)], b)
+                for n, b in [(8, 10), (14, 6), (5, 12)]]
+
+        def drain(mesh):
+            eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4,
+                                kv_quant=kv_quant, mesh=mesh)
+            rids = [eng.submit(p, b) for p, b in reqs]
+            res = eng.run()
+            return [res[r].tokens for r in rids]
+
+        mesh = make_mesh(2, axes={MODEL_AXIS: 2})
+        assert drain(mesh) == drain(None)
+
     def test_pipelined_drain_matches_sync(self):
         """pipelined=True (one chunk in flight, late retirement) must
         deliver identical per-request tokens to the synchronous drain,
