@@ -378,6 +378,7 @@ class DevicePrefetcher:
         self._q = _queue.Queue(maxsize=max(1, int(depth)))
         self._err: BaseException | None = None
         self._stop = False
+        self._done = False
         self._worker = threading.Thread(
             target=self._work, args=(iterator, transform), daemon=True
         )
@@ -409,8 +410,11 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        if self._done:
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
@@ -419,6 +423,7 @@ class DevicePrefetcher:
     def close(self):
         """Stop the worker and drop queued batches (early-exit path)."""
         self._stop = True
+        self._done = True
         try:
             while True:
                 self._q.get_nowait()

@@ -44,6 +44,8 @@ No reference analog (the reference decodes cache-free in full precision,
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -60,7 +62,7 @@ for untested extreme batches, not a measured crossover (the head-split
 kernel's b128 crossover no longer applies)."""
 
 
-def _pick_block_b(B: int, quant: bool) -> int:
+def _pick_block_b(B: int) -> int:
     """Largest Mosaic-legal batch block ≤ the measured-best preferred size.
 
     bb=8 measured best for the packed kernel at b64 and b256, int8 and
@@ -68,8 +70,6 @@ def _pick_block_b(B: int, quant: bool) -> int:
     per-byte DMA). Blocks whose sublane dim is the batch (the mask spec)
     must be 8-divisible or equal to the full batch, so the block is either
     a multiple-of-8 divisor of B or B itself."""
-    import os
-
     preferred = int(os.environ.get("GLMTPU_DECODE_BLOCK_B", "0")) or 8
     for b in range(min(preferred, B), 7, -8):
         if B % b == 0 and b % 8 == 0:
@@ -152,7 +152,7 @@ def decode_attention(
         # int8 cache values are exactly representable), f32 accumulation
         # either way via preferred_element_type
         compute_dtype = jnp.float32 if interpret else jnp.bfloat16
-    bb = _pick_block_b(B, quant) if block_b is None else int(block_b)
+    bb = _pick_block_b(B) if block_b is None else int(block_b)
     inv_sqrt_d = 1.0 / float(D) ** 0.5
     layer = int(layer)
 

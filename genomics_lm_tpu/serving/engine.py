@@ -149,12 +149,20 @@ def admit_many(params, cfg: CodonGPTConfig, state: dict, slot_idx: jnp.ndarray,
     onehot_b = (slot_idx[None, :] == jnp.arange(B)[:, None]) & valid[None, :]
     written = jnp.any(onehot_b, axis=1)  # (B,)
     onehot = onehot_b.astype(jnp.float32)
+    # lane feeding each slot (0 where unwritten — masked by `written`)
+    lane = jnp.argmax(onehot_b, axis=1)  # (B,)
 
     def route(mini_arr, old, lane_axis, pos_axis, mask_shape):
-        """Route admission lanes to slots and merge over ``old``'s P-prefix."""
+        """Route admission lanes to slots and merge over ``old``'s P-prefix.
+
+        HIGHEST precision keeps the routing matmul an exact copy: at TPU
+        default precision f32 operands demote to bf16, which would round
+        routed scales (and bf16/int8 cache values are exact either way,
+        but f32 caches on CPU paths would round too)."""
         upd = jnp.einsum(
             "bn,...n->...b", onehot,
-            jnp.moveaxis(mini_arr, lane_axis, -1).astype(jnp.float32))
+            jnp.moveaxis(mini_arr, lane_axis, -1).astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST)
         upd = jnp.moveaxis(upd, -1, lane_axis).astype(old.dtype)
         prefix = jax.lax.slice_in_dim(old, 0, P, axis=pos_axis)
         merged = jnp.where(written.reshape(mask_shape), upd, prefix)
@@ -165,19 +173,25 @@ def admit_many(params, cfg: CodonGPTConfig, state: dict, slot_idx: jnp.ndarray,
     # packed caches (L, B, S, P): slot axis 1, positions axis 2
     out["k"] = route(mini["k"], state["k"], 1, 2, (1, B, 1, 1))
     out["v"] = route(mini["v"], state["v"], 1, 2, (1, B, 1, 1))
-    out["seg"] = route(mini["seg"], state["seg"], 0, 1, (B, 1))
     if kv_quant:
         # scales (L, B, Hkv, S): slot axis 1, positions axis 3
         out["k_scale"] = route(
             mini["k_scale"], state["k_scale"], 1, 3, (1, B, 1, 1))
         out["v_scale"] = route(
             mini["v_scale"], state["v_scale"], 1, 3, (1, B, 1, 1))
-    routed_lens = (onehot @ prompt_lens.astype(jnp.float32)).astype(jnp.int32)
-    out["lengths"] = jnp.where(written, routed_lens, state["lengths"])
-    routed_segc = (onehot @ mini["seg_count"].astype(jnp.float32)).astype(jnp.int32)
-    out["seg_count"] = jnp.where(written, routed_segc, state["seg_count"])
+    # integer metadata and logits route by exact gather, not matmul —
+    # int32 values above 256 are not bf16-representable, and the sampled
+    # token must come from bit-exact logits
+    seg_upd = jnp.take(mini["seg"], lane, axis=0)  # (B, P)
+    seg_prefix = jax.lax.slice_in_dim(state["seg"], 0, P, axis=1)
+    out["seg"] = jax.lax.dynamic_update_slice(
+        state["seg"],
+        jnp.where(written[:, None], seg_upd, seg_prefix), (0, 0))
+    out["lengths"] = jnp.where(written, prompt_lens[lane], state["lengths"])
+    out["seg_count"] = jnp.where(
+        written, mini["seg_count"][lane], state["seg_count"])
     out["last_logits"] = jnp.where(
-        written[:, None], onehot @ logits.astype(jnp.float32),
+        written[:, None], logits.astype(jnp.float32)[lane],
         state["last_logits"])
     out["active"] = state["active"] | written
     return out
@@ -393,7 +407,7 @@ class ServingEngine:
 
             from genomics_lm_tpu.parallel.sharding import tp_param_sharding
 
-            if cfg.kv_heads % tp or (cfg.kv_heads * cfg.head_dim) % tp:
+            if cfg.kv_heads % tp:
                 raise ValueError(
                     f"kv_heads {cfg.kv_heads} must divide over model={tp}")
             self.cfg = cfg = dataclasses.replace(cfg, attention_impl="xla")
@@ -527,10 +541,22 @@ class ServingEngine:
         into the state that chunk N+1 will see. This hides the per-chunk
         dispatch + fetch latency (dominant on relayed runtimes) at the
         cost of finished slots decoding one extra (discarded) chunk before
-        they free. Per-request outputs are identical either way: a slot's
-        tokens depend only on its own admission and the shared key
-        schedule, and everything past a request's stop/budget is discarded
-        on the host exactly as with intra-chunk overshoot."""
+        they free. GREEDY outputs are identical either way (a slot's
+        tokens depend only on its own admission, and overshoot past a
+        request's stop/budget is discarded on the host). Sampled
+        (temperature > 0) outputs are drawn from the identical per-token
+        distribution but the realized draws can differ: pipelining delays
+        re-admission into a freed slot by one chunk, shifting which split
+        of the engine key serves that request."""
+        if not pipelined:
+            for _ in range(max_chunks):
+                if not self.pending and self.n_active == 0:
+                    break
+                self.step()
+            else:
+                raise RuntimeError("serving run did not drain within max_chunks")
+            return self.results
+
         inflight = None  # (tokens, slot→request snapshot at dispatch)
         for _ in range(max_chunks):
             if not self.pending and self.n_active == 0 and inflight is None:
@@ -548,10 +574,7 @@ class ServingEngine:
             if inflight is not None:
                 # fetch overlaps with the chunk dispatched above
                 self._retire(np.asarray(inflight[0]), inflight[1])
-            if pipelined:
-                inflight = chunk
-            elif chunk is not None:
-                self._retire(np.asarray(chunk[0]), chunk[1])
+            inflight = chunk
         else:
             raise RuntimeError("serving run did not drain within max_chunks")
         return self.results

@@ -151,6 +151,19 @@ class TestDevicePrefetcher:
         with _pytest.raises(RuntimeError, match="loader exploded"):
             list(pf)
 
+    def test_exhausted_iterator_keeps_raising_stopiteration(self):
+        from genomics_lm_tpu.data.datasets import DevicePrefetcher
+
+        pf = DevicePrefetcher(iter([1, 2]), lambda x: x, depth=2)
+        assert list(pf) == [1, 2]
+        import pytest as _pytest
+
+        with _pytest.raises(StopIteration):  # must not hang
+            next(pf)
+        pf.close()
+        with _pytest.raises(StopIteration):
+            next(pf)
+
     def test_close_unblocks_worker(self):
         import time as _time
 
