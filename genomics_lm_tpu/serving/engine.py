@@ -488,49 +488,68 @@ class ServingEngine:
         )
 
     def _retire(self, tokens: np.ndarray,
-                snapshot: list[Request | None] | None = None) -> None:
+                snapshot: list[Request | None] | None = None,
+                ) -> list[tuple[int, list[int], str]]:
         """Consume one chunk of sampled tokens; free finished slots.
 
         ``snapshot`` is the slot→request mapping at the chunk's dispatch
         time. Retiring against it (with an identity check against the
         live mapping) makes late retirement safe: tokens for a slot that
         has since been re-admitted to a different request are dropped
-        instead of being credited to the new request."""
+        instead of being credited to the new request.
+
+        Returns streaming events: one (request_id, new_tokens,
+        finish_reason) per request that produced tokens this chunk, with
+        finish_reason "" while the request is still running."""
         finished = np.zeros((self.slots,), bool)
+        events: list[tuple[int, list[int], str]] = []
         for slot, req in enumerate(snapshot or self._slot_req):
             if req is None or self._slot_req[slot] is not req:
                 continue
             res = self.results[req.request_id]
+            fresh: list[int] = []
             for t in tokens[slot]:
                 t = int(t)
                 res.tokens.append(t)
+                fresh.append(t)
                 if t in req.stop_ids:
                     res.finish_reason = "stop"
                     break
                 if len(res.tokens) >= req.max_new_tokens:
                     res.finish_reason = "length"
                     break
+            if fresh:
+                events.append((req.request_id, fresh, res.finish_reason))
             if res.finish_reason:
                 finished[slot] = True
                 self._slot_req[slot] = None
         if finished.any():
             self.state = deactivate(self.state, jnp.asarray(finished))
+        return events
+
+    def _dispatch_chunk(self):
+        """Admit pending, then dispatch one decode chunk (no fetch).
+
+        Returns (tokens device array, slot→request snapshot) or None when
+        nothing is active. Overshoot past per-request budgets within the
+        chunk is discarded on the host at retirement."""
+        self._admit_pending()
+        if self.n_active == 0:
+            return None
+        self._key, sub = jax.random.split(self._key)
+        self.state, toks = serve_steps(
+            self.params, self.cfg, self.state, self.steps_per_sync,
+            jnp.asarray(self._temps), sub, self._allowed,
+        )
+        return toks, list(self._slot_req)
 
     def step(self) -> int:
         """Admit + decode one chunk + retire. Returns #tokens sampled."""
-        self._admit_pending()
-        if self.n_active == 0:
+        chunk = self._dispatch_chunk()
+        if chunk is None:
             return 0
-        # never decode past the tightest remaining per-request budget more
-        # than a chunk; overshoot within a chunk is discarded on the host
-        n = self.steps_per_sync
-        self._key, sub = jax.random.split(self._key)
-        self.state, toks = serve_steps(
-            self.params, self.cfg, self.state, n,
-            jnp.asarray(self._temps), sub, self._allowed,
-        )
-        self._retire(np.asarray(toks))
-        return int(self.n_active and n * self.slots)
+        self._retire(np.asarray(chunk[0]), chunk[1])
+        return int(self.n_active and self.steps_per_sync * self.slots)
 
     def run(self, max_chunks: int = 10_000, *,
             pipelined: bool = True) -> dict[int, RequestResult]:
@@ -548,36 +567,39 @@ class ServingEngine:
         distribution but the realized draws can differ: pipelining delays
         re-admission into a freed slot by one chunk, shifting which split
         of the engine key serves that request."""
+        for _ in self.stream(max_chunks, pipelined=pipelined):
+            pass
+        return self.results
+
+    def stream(self, max_chunks: int = 10_000, *, pipelined: bool = True):
+        """Drain the queue, yielding token deltas as they are decoded.
+
+        Generator of (request_id, new_tokens, finish_reason) events —
+        one per request per chunk in which it produced tokens;
+        ``finish_reason`` is "" while the request is still running, then
+        "stop" or "length" on its final event. The same scheduling as
+        ``run`` (which simply exhausts this generator); see ``run`` for
+        the ``pipelined`` semantics. ``self.results`` accumulates the
+        full per-request outputs as usual."""
         if not pipelined:
             for _ in range(max_chunks):
                 if not self.pending and self.n_active == 0:
-                    break
-                self.step()
-            else:
-                raise RuntimeError("serving run did not drain within max_chunks")
-            return self.results
+                    return
+                chunk = self._dispatch_chunk()
+                if chunk is not None:
+                    yield from self._retire(np.asarray(chunk[0]), chunk[1])
+            raise RuntimeError("serving run did not drain within max_chunks")
 
         inflight = None  # (tokens, slot→request snapshot at dispatch)
         for _ in range(max_chunks):
             if not self.pending and self.n_active == 0 and inflight is None:
-                break
-            self._admit_pending()
-            chunk = None
-            if self.n_active:
-                n = self.steps_per_sync
-                self._key, sub = jax.random.split(self._key)
-                self.state, toks = serve_steps(
-                    self.params, self.cfg, self.state, n,
-                    jnp.asarray(self._temps), sub, self._allowed,
-                )
-                chunk = (toks, list(self._slot_req))
+                return
+            chunk = self._dispatch_chunk()
             if inflight is not None:
                 # fetch overlaps with the chunk dispatched above
-                self._retire(np.asarray(inflight[0]), inflight[1])
+                yield from self._retire(np.asarray(inflight[0]), inflight[1])
             inflight = chunk
-        else:
-            raise RuntimeError("serving run did not drain within max_chunks")
-        return self.results
+        raise RuntimeError("serving run did not drain within max_chunks")
 
 
 __all__ = [

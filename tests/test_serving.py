@@ -113,6 +113,26 @@ class TestServingEngine:
 
         assert drain(True) == drain(False)
 
+    @pytest.mark.parametrize("pipelined", [False, True])
+    def test_stream_yields_incremental_deltas(self, pipelined):
+        """stream() events concatenate to the final tokens, arrive over
+        multiple chunks, and carry the finish_reason on the last event."""
+        params, cfg = make_model()
+        rng = np.random.default_rng(3)
+        eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4)
+        rids = [eng.submit([1] + [int(t) for t in rng.integers(4, 68, 6)], 13)
+                for _ in range(3)]
+        deltas: dict[int, list[int]] = {r: [] for r in rids}
+        finishes: dict[int, list[str]] = {r: [] for r in rids}
+        for rid, toks, reason in eng.stream(pipelined=pipelined):
+            deltas[rid].extend(toks)
+            finishes[rid].append(reason)
+        for rid in rids:
+            assert deltas[rid] == eng.results[rid].tokens
+            assert len(finishes[rid]) >= 2  # 13 tokens over 4-step chunks
+            assert all(r == "" for r in finishes[rid][:-1])
+            assert finishes[rid][-1] in ("stop", "length")
+
     def test_stop_ids_retire_and_free_slot(self):
         params, cfg = make_model()
         prompt = [1, 10, 11, 12]
