@@ -134,7 +134,8 @@ def run_synthetic() -> dict:
     }
 
 
-def build_packed_dataset(n_windows: int, block_size: int, out_dir: Path):
+def build_packed_dataset(n_windows: int, block_size: int, out_dir: Path,
+                         pack_mode: str = "multi"):
     """Realistic packed dataset via the real chunk→pack→arrays machinery."""
     from genomics_lm_tpu.data.packing import chunk_record, pack_chunks, packed_arrays
 
@@ -162,7 +163,7 @@ def build_packed_dataset(n_windows: int, block_size: int, out_dir: Path):
             if total > n_windows * (block_size + 1) * 1.1:
                 break
     chunks = [c for r in records for c in chunk_record(r, block_size)]
-    windows = pack_chunks(chunks, block_size=block_size, mode="multi", sep_id=3)
+    windows = pack_chunks(chunks, block_size=block_size, mode=pack_mode, sep_id=3)
     arrays = packed_arrays(windows, block_size=block_size, mode="fixed")
     out_dir.mkdir(parents=True, exist_ok=True)
     npz = out_dir / "bench_train.npz"
@@ -174,7 +175,7 @@ def build_packed_dataset(n_windows: int, block_size: int, out_dir: Path):
     return npz, pad_fraction
 
 
-def run_real_pipeline() -> dict:
+def run_real_pipeline(pack_mode: str = "multi") -> dict:
     """EpochPlan host pipeline protocol: real packing, real padding, real
     host→device transfer every step (protocol-for-protocol vs the 2,891.9
     reference gate, which trained on preloaded real data)."""
@@ -194,7 +195,7 @@ def run_real_pipeline() -> dict:
     with tempfile.TemporaryDirectory(prefix="bench_realpipe_") as tmp:
         npz, pad_fraction = build_packed_dataset(
             n_windows=(n_steps + 2) * G * B, block_size=cfg.block_size,
-            out_dir=Path(tmp),
+            out_dir=Path(tmp), pack_mode=pack_mode,
         )
         ds = PackedDataset(npz, use_mmap=True)
         key = jax.random.PRNGKey(1337)
@@ -245,16 +246,22 @@ def run_real_pipeline() -> dict:
         "unit": "tokens/sec",
         "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
         "pad_fraction": round(pad_fraction, 4),
+        "pack_mode": pack_mode,
     }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--binpack", action="store_true",
+                    help="with --real-pipeline: pack the dataset first-fit-"
+                         "decreasing (data.packing mode='binpack') instead of "
+                         "arrival order — same lossless contract, less padding")
     ap.add_argument("--real-pipeline", action="store_true",
                     help="stream real packed data through the EpochPlan host "
                          "pipeline instead of device-resident synthetic windows")
     args = ap.parse_args()
-    result = run_real_pipeline() if args.real_pipeline else run_synthetic()
+    result = (run_real_pipeline("binpack" if args.binpack else "multi")
+              if args.real_pipeline else run_synthetic())
     print(json.dumps(result))
 
 

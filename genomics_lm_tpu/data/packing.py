@@ -194,8 +194,18 @@ def pack_chunks(
     mode: str,
     sep_id: int,
 ) -> list[PackedWindow]:
-    """Pack chunks without losing or duplicating any source transition."""
-    if mode not in {"single", "dynamic", "multi"}:
+    """Pack chunks without losing or duplicating any source transition.
+
+    ``binpack`` is the TPU-native extension of ``multi``: whole-fragment
+    chunks are placed first-fit-decreasing instead of in arrival order,
+    typically cutting the padding fraction several-fold (padding is dead
+    FLOPs — every window trains at block_size cost regardless of fill).
+    Chunks that continue across windows keep the sequential builder's
+    placement semantics; the exactly-once transition contract is
+    preserved either way (span provenance is per-chunk, so placement
+    order is free — ``tests/test_packing.py`` audits both modes).
+    Deterministic: ties break on source identity, not input order."""
+    if mode not in {"single", "dynamic", "multi", "binpack"}:
         raise ValueError(f"Unsupported pack mode: {mode!r}")
     capacity = block_size + 1
     todo = list(chunks)
@@ -203,11 +213,58 @@ def pack_chunks(
     if oversized:
         raise ValueError("Chunk exceeds block_size + 1 token capacity")
 
-    if mode != "multi":
+    if mode in {"single", "dynamic"}:
         return [
             PackedWindow(tokens=c.tokens, spans=(c.placed_at(0, len(c.tokens)),))
             for c in todo
         ]
+
+    if mode == "binpack":
+        # full-capacity chunks (they continue to the next window) can never
+        # share: emit them directly. Tail chunks of a chain must be FIRST
+        # in their window (the one-token overlap may not follow anything),
+        # so they seed bins that whole fragments then fill. Whole
+        # fragments place first-fit-decreasing.
+        out: list[PackedWindow] = []
+        bins: list[_WindowBuilder] = []
+        full = []
+        seeds = []
+        whole = []
+        for c in todo:
+            if c.continues_to_next:
+                full.append(c)
+            elif c.continues_from_previous:
+                seeds.append(c)
+            else:
+                whole.append(c)
+        ident = lambda c: (c.source_id, c.fragment_line_idx, c.chunk_index)
+        for c in sorted(full, key=ident):
+            b = _WindowBuilder(capacity, sep_id)
+            b.add(c)
+            b.flush()
+            out.extend(b.done)
+        for c in sorted(seeds, key=ident):
+            b = _WindowBuilder(capacity, sep_id)
+            b.add(c)
+            bins.append(b)
+        order = sorted(whole, key=lambda c: (-len(c.tokens),) + ident(c))
+        for c in order:
+            need = len(c.tokens)
+            placed = False
+            for b in bins:
+                sep_cost = 1 if b.tokens else 0
+                if len(b.tokens) + sep_cost + need <= capacity:
+                    b.add(c)
+                    placed = True
+                    break
+            if not placed:
+                b = _WindowBuilder(capacity, sep_id)
+                b.add(c)
+                bins.append(b)
+        for b in bins:
+            b.flush()
+            out.extend(b.done)
+        return out
 
     builder = _WindowBuilder(capacity, sep_id)
     for chunk in todo:

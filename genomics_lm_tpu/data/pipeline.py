@@ -155,7 +155,7 @@ def prepare_dataset(
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    array_mode = "fixed" if pack_mode in {"single", "multi"} else "dynamic"
+    array_mode = "fixed" if pack_mode in {"single", "multi", "binpack"} else "dynamic"
 
     # 1-2: split
     records, split_policy = assign_group_splits(
@@ -297,7 +297,7 @@ def prepare_dataset(
             "stats": tokenize_stats,
         },
         "packing": {
-            "mode": {"single": "fixed", "multi": "multi", "dynamic": "dynamic"}[pack_mode],
+            "mode": {"single": "fixed", "multi": "multi", "dynamic": "dynamic", "binpack": "binpack"}[pack_mode],
             "block_size": block_size,
             "transition_policy": "exactly_once",
         },

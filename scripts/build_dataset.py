@@ -26,7 +26,7 @@ def main(argv=None) -> int:
                     help="optional one-group-per-line file aligned with --ids")
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--block_size", type=int, default=512)
-    ap.add_argument("--pack_mode", choices=["single", "multi", "dynamic"], default="multi")
+    ap.add_argument("--pack_mode", choices=["single", "multi", "dynamic", "binpack"], default="multi")
     ap.add_argument("--val_fraction", type=float, default=0.1)
     ap.add_argument("--test_fraction", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
@@ -68,7 +68,7 @@ def main(argv=None) -> int:
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     write_itos(out_dir / "itos.txt")
-    array_mode = "fixed" if args.pack_mode in {"single", "multi"} else "dynamic"
+    array_mode = "fixed" if args.pack_mode in {"single", "multi", "binpack"} else "dynamic"
     for split in SPLITS:
         recs = [
             {

@@ -116,6 +116,44 @@ class TestPackChunks:
                 expected.add((r["fragment_line_idx"], t))
         assert recovered == expected
 
+    def test_binpack_conserves_transitions_and_cuts_padding(self):
+        """binpack (first-fit-decreasing) keeps the exactly-once transition
+        contract while wasting no more capacity than arrival-order multi."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        records = []
+        for i in range(200):
+            n = int(np.clip(rng.lognormal(3.0, 0.8), 2, 40))
+            records.append(make_record(
+                [1] + [int(t) for t in rng.integers(10, 60, n)] + [2],
+                fragment_line_idx=i, source_line_idx=i))
+        chunks = [c for r in records for c in chunk_record(r, block_size=32)]
+
+        def recovered(windows):
+            got = set()
+            for w in windows:
+                for s in w.spans:
+                    for t in range(s.source_token_start, s.source_token_end - 1):
+                        got.add((s.fragment_line_idx, t))
+            return got
+
+        expected = set()
+        for r in records:
+            for t in range(len(r["tokens"]) - 1):
+                expected.add((r["fragment_line_idx"], t))
+
+        multi = pack_chunks(chunks, block_size=32, mode="multi", sep_id=3)
+        packed = pack_chunks(chunks, block_size=32, mode="binpack", sep_id=3)
+        assert recovered(packed) == expected
+        waste = lambda ws: sum(33 - len(w.tokens) for w in ws) + 33 * 0  # noqa: E731
+        assert len(packed) <= len(multi)
+        assert waste(packed) <= waste(multi)
+        # determinism: independent of input chunk order
+        rng.shuffle(chunks)
+        packed2 = pack_chunks(chunks, block_size=32, mode="binpack", sep_id=3)
+        assert [w.tokens for w in packed2] == [w.tokens for w in packed]
+
     def test_oversize_chunk_rejected(self):
         big = TokenChunk(
             tokens=tuple(range(10)), source_id="s", source_line_idx=0,
