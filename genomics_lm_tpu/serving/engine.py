@@ -454,6 +454,42 @@ class ServingEngine:
     def n_active(self) -> int:
         return sum(r is not None for r in self._slot_req)
 
+    def cancel(self, request_id: int) -> bool:
+        """Cancel a request. Pending requests are dropped; an in-flight
+        request's slot is freed at the next scheduling round (its decoded
+        tokens so far stay in ``results`` with finish_reason "cancelled").
+        Returns False if the request is unknown or already finished."""
+        for i, req in enumerate(self.pending):
+            if req.request_id == request_id:
+                del self.pending[i]
+                res = self.results.setdefault(
+                    request_id, RequestResult(request_id, list(req.prompt)))
+                res.finish_reason = "cancelled"
+                return True
+        for slot, req in enumerate(self._slot_req):
+            if req is not None and req.request_id == request_id:
+                self.results[req.request_id].finish_reason = "cancelled"
+                self._slot_req[slot] = None
+                freed = np.zeros((self.slots,), bool)
+                freed[slot] = True
+                self.state = deactivate(self.state, jnp.asarray(freed))
+                return True
+        return False
+
+    def stats(self) -> dict:
+        """Scheduler observability snapshot (host-side, no device sync)."""
+        return {
+            "slots": self.slots,
+            "active": self.n_active,
+            "pending": len(self.pending),
+            "completed": sum(
+                1 for r in self.results.values() if r.finish_reason),
+            "max_seq_len": self.S,
+            "kv_quant": self.kv_quant,
+            "steps_per_sync": self.steps_per_sync,
+            "tensor_parallel": self.mesh is not None,
+        }
+
     # -- scheduling --------------------------------------------------------
     def _admit_pending(self) -> None:
         free = [s for s in range(self.slots) if self._slot_req[s] is None]

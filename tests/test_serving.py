@@ -73,6 +73,26 @@ class TestServingEngine:
         packed.submit(others[2], 6)
         assert packed.run()[rid2].tokens == alone_tokens
 
+    def test_cancel_pending_and_inflight(self):
+        params, cfg = make_model()
+        rng = np.random.default_rng(9)
+        eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4)
+        mk = lambda n: [1] + [int(t) for t in rng.integers(4, 68, n)]
+        r1 = eng.submit(mk(6), 20)
+        r2 = eng.submit(mk(6), 20)
+        r3 = eng.submit(mk(6), 20)  # stays pending (2 slots)
+        eng.step()  # admits r1, r2; decodes one chunk
+        assert eng.cancel(r3)  # pending cancel
+        assert eng.cancel(r1)  # in-flight cancel frees the slot
+        assert not eng.cancel(r1)  # already cancelled
+        assert not eng.cancel(999)
+        res = eng.run()
+        assert res[r1].finish_reason == "cancelled"
+        assert res[r3].finish_reason == "cancelled" and res[r3].tokens == []
+        assert res[r2].finish_reason == "length" and len(res[r2].tokens) == 20
+        st = eng.stats()
+        assert st["active"] == 0 and st["pending"] == 0 and st["completed"] == 3
+
     @pytest.mark.parametrize("kv_quant", [False, True])
     def test_tensor_parallel_engine_matches_single_device(self, kv_quant):
         """Megatron head-split serving over a ('model',) mesh must emit
