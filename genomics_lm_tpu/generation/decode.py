@@ -118,7 +118,12 @@ def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
             q, k = apply_rope(q, k, *rope)
         ks.append(k)
         vs.append(v)
-        # standard causal+segment attention over the prompt
+        # standard causal+segment attention over the prompt — always the
+        # einsum path, independent of cfg.attention_impl. Measured: flash
+        # prefill at serving-admission shapes is a net loss (22% slower
+        # drain at the 512 bucket; small-tile variants fail Mosaic
+        # compilation), because prefill T is short enough that the
+        # materialized scores fit and XLA fuses the chain well.
         from genomics_lm_tpu.ops.attention import attention
 
         y = attention(q, k, v, segment_ids=seg if cfg.sep_id is not None else None)
