@@ -207,8 +207,8 @@ def _check_sections(manifest: dict) -> None:
     repro = _require(manifest, "reproducibility", "manifest")
 
     _require(tokenization, "ambiguous_codon_policy", "tokenization")
-    if packing.get("mode") not in {"fixed", "dynamic", "multi"}:
-        _fail("packing.mode must be fixed, dynamic, or multi")
+    if packing.get("mode") not in {"fixed", "dynamic", "multi", "binpack"}:
+        _fail("packing.mode must be fixed, dynamic, multi, or binpack")
     if packing.get("transition_policy") != "exactly_once":
         _fail("packing transition_policy must be exactly_once")
     for seed in ("split_seed", "packing_seed"):

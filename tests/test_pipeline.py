@@ -86,6 +86,27 @@ class TestPrepareDataset:
         np.testing.assert_array_equal(x1, x2)
         np.testing.assert_array_equal(y1, y2)
 
+    def test_full_pipeline_binpack(self, tmp_path):
+        """binpack mode flows through prepare: manifest revalidates, padding
+        never exceeds arrival-order packing's."""
+        manifest = prepare_dataset(
+            make_records(), tmp_path / "bp", block_size=32, pack_mode="binpack",
+            skip_homology=True,
+        )
+        assert manifest["packing"]["mode"] == "binpack"
+        loaded = manifest_lib.load_dataset_manifest(
+            tmp_path / "bp" / "manifest.json", verify_artifacts=True
+        )
+        assert loaded["packing"]["transition_policy"] == "exactly_once"
+        prepare_dataset(
+            make_records(), tmp_path / "mu", block_size=32, pack_mode="multi",
+            skip_homology=True,
+        )
+        pad = lambda d: float(np.mean(
+            PackedDataset(d / "train_bs32.npz").fetch_batch(
+                list(range(len(PackedDataset(d / "train_bs32.npz")))))[1] == 0))
+        assert pad(tmp_path / "bp") <= pad(tmp_path / "mu")
+
     def test_dynamic_mode(self, tmp_path):
         prepare_dataset(
             make_records(), tmp_path / "dyn", block_size=32, pack_mode="dynamic",
