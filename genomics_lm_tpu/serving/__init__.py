@@ -16,7 +16,18 @@ from genomics_lm_tpu.serving.engine import (
     serve_steps,
 )
 
+
+def __getattr__(name):
+    # lazy: http.server import only when the front-end is actually used
+    if name == "InferenceServer":
+        from genomics_lm_tpu.serving.server import InferenceServer
+
+        return InferenceServer
+    raise AttributeError(name)
+
+
 __all__ = [
+    "InferenceServer",
     "Request",
     "RequestResult",
     "ServingEngine",

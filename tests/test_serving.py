@@ -277,6 +277,72 @@ class TestServingEngine:
         assert not bool(st["active"].any())
 
 
+class TestInferenceServer:
+    def test_http_generate_stats_and_stream(self):
+        """End-to-end HTTP: concurrent non-stream + stream requests through
+        one engine; greedy output equals the offline path; bad requests 400."""
+        import json as _json
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from genomics_lm_tpu.serving.server import InferenceServer
+
+        params, cfg = make_model()
+        eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4)
+        srv = InferenceServer(eng, host="127.0.0.1", port=0)
+        srv.start()
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+        try:
+            def post(payload):
+                req = urllib.request.Request(
+                    base + "/generate", data=_json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, r.read()
+
+            rng = np.random.default_rng(2)
+            prompts = [[1] + [int(t) for t in rng.integers(4, 68, 6)]
+                       for _ in range(3)]
+            with ThreadPoolExecutor(4) as pool:
+                futs = [pool.submit(post, {"prompt": p, "max_new_tokens": 8})
+                        for p in prompts]
+                sfut = pool.submit(post, {"prompt": prompts[0],
+                                          "max_new_tokens": 8, "stream": True})
+                results = [f.result() for f in futs]
+                s_status, s_body = sfut.result()
+
+            for (status, body), p in zip(results, prompts):
+                assert status == 200
+                out = _json.loads(body)
+                assert out["finish_reason"] == "length"
+                assert out["tokens"] == offline_greedy(params, cfg, p, 8)
+            # streamed events concatenate to the same greedy output
+            assert s_status == 200
+            lines = [_json.loads(l) for l in s_body.splitlines() if l.strip()]
+            streamed = [t for l in lines for t in l["tokens"]]
+            assert streamed == offline_greedy(params, cfg, prompts[0], 8)
+            assert lines[-1]["finish_reason"] == "length"
+
+            # stats + health + error paths
+            with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+                st = _json.loads(r.read())
+            assert st["slots"] == 2 and st["completed"] == 4
+            with urllib.request.urlopen(base + "/health", timeout=30) as r:
+                assert _json.loads(r.read())["status"] == "ok"
+            try:
+                post({"max_new_tokens": 8})
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            # DNA in / DNA out
+            status, body = post({"dna": "ATGGCT", "max_new_tokens": 4})
+            out = _json.loads(body)
+            assert status == 200 and len(out["tokens"]) == 4
+        finally:
+            srv.stop()
+
+
 class TestBenchmarkCLIs:
     """The serving/decode benchmark scripts run end-to-end on tiny shapes."""
 
