@@ -205,7 +205,57 @@ def deactivate(state: dict, slot_mask: jnp.ndarray) -> dict:
     return out
 
 
-def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray):
+def _tp_decode_attention(mesh, cfg: CodonGPTConfig, q, k, v, mask_add,
+                         layer: int, ks, vs):
+    """Tensor-parallel fused decode attention via shard_map.
+
+    GSPMD cannot partition a pallas_call, so under a model-axis mesh the
+    kernel runs per shard on its local slice: q split by query heads,
+    the packed cache split on the lane axis (= the same head split), and
+    scales split on their head axis. Attention is head-local, so no
+    collective is needed here — the psum comes after the row-parallel
+    output projection, inserted by GSPMD as usual."""
+    from jax.sharding import PartitionSpec as P
+
+    from genomics_lm_tpu.parallel.mesh import MODEL_AXIS
+
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, *, mesh, in_specs, out_specs, check_rep):
+            return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                       check_vma=check_rep)
+    except ImportError:  # older jax spelling
+        from jax.experimental.shard_map import shard_map
+
+    tp = mesh.shape[MODEL_AXIS]
+    hkv_local = cfg.kv_heads // tp
+
+    if ks is not None:
+        def local(q_l, k_l, v_l, m_l, ks_l, vs_l):
+            return decode_attention(q_l, k_l, v_l, m_l, layer, ks_l, vs_l,
+                                    kv_heads=hkv_local)
+
+        in_specs = (P(None, MODEL_AXIS, None), P(None, None, None, MODEL_AXIS),
+                    P(None, None, None, MODEL_AXIS), P(None, None),
+                    P(None, None, MODEL_AXIS, None),
+                    P(None, None, MODEL_AXIS, None))
+        args = (q, k, v, mask_add, ks, vs)
+    else:
+        def local(q_l, k_l, v_l, m_l):
+            return decode_attention(q_l, k_l, v_l, m_l, layer,
+                                    kv_heads=hkv_local)
+
+        in_specs = (P(None, MODEL_AXIS, None), P(None, None, None, MODEL_AXIS),
+                    P(None, None, None, MODEL_AXIS), P(None, None))
+        args = (q, k, v, mask_add)
+    return shard_map(local, mesh=mesh, in_specs=in_specs,
+                     out_specs=P(None, MODEL_AXIS, None),
+                     check_rep=False)(*args)
+
+
+def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray,
+                   mesh=None):
     """One decode step with per-slot positions; returns (logits, new state).
 
     The layer body mirrors ``generation.decode._decode_step_impl`` (same
@@ -213,7 +263,8 @@ def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray)
     differs: scalar ``length`` becomes the (B,) ``lengths`` vector, the
     single dynamic-update-slice becomes a per-slot scatter, and inactive
     slots keep their length (their writes land on their own frozen slot
-    and are never attended)."""
+    and are never attended). With ``mesh`` (tensor-parallel serving) the
+    flash path routes through ``_tp_decode_attention``."""
     B = token.shape[0]
     S = state["seg"].shape[1]
     lengths = state["lengths"]
@@ -272,7 +323,10 @@ def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray)
         q_flat = q.reshape(B, cfg.n_head, cfg.head_dim)
         ks = new_k_scale if kv_quant else None
         vs = new_v_scale if kv_quant else None
-        if use_kernel:
+        if use_kernel and mesh is not None:
+            y = _tp_decode_attention(
+                mesh, cfg, q_flat, new_k, new_v, mask_add, layer, ks, vs)
+        elif use_kernel:
             y = decode_attention(q_flat, new_k, new_v, mask_add, layer, ks, vs,
                                  kv_heads=cfg.kv_heads)
         else:
@@ -309,7 +363,7 @@ def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray)
     return logits, out
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3), donate_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(1, 3, 7), donate_argnums=(2,))
 def serve_steps(
     params,
     cfg: CodonGPTConfig,
@@ -318,11 +372,14 @@ def serve_steps(
     temps: jnp.ndarray,
     key: jax.Array,
     allowed_mask: jnp.ndarray | None = None,
+    mesh=None,
 ) -> tuple[dict, jnp.ndarray]:
     """One compiled scan of ``n_steps`` ragged decode steps.
 
     ``temps``: (B,) per-slot temperature, ≤0 = greedy. ``allowed_mask``:
-    optional (V,) bool vocabulary restriction (e.g. CDS codons). Returns
+    optional (V,) bool vocabulary restriction (e.g. CDS codons). ``mesh``
+    (static): tensor-parallel serving mesh — routes the flash kernel
+    through shard_map (einsum/GSPMD paths ignore it). Returns
     (new state, (B, n_steps) sampled tokens); tokens of inactive slots are
     0. One device dispatch per chunk — the host syncs only at chunk
     boundaries to admit/retire."""
@@ -338,7 +395,7 @@ def serve_steps(
         ).astype(jnp.int32)
         token = jnp.where(temps <= 0, greedy, sampled)
         token = jnp.where(state["active"], token, 0)
-        _, state = _ragged_decode(params, cfg, state, token)
+        _, state = _ragged_decode(params, cfg, state, token, mesh)
         return state, token
 
     state, tokens = jax.lax.scan(body, state, jax.random.split(key, n_steps))
@@ -391,26 +448,26 @@ class ServingEngine:
             raise ValueError("max_seq_len exceeds model block_size")
         self.kv_quant = bool(kv_quant)
         self.steps_per_sync = int(steps_per_sync)
-        self.mesh = mesh
         tp = 1
         if mesh is not None:
             from genomics_lm_tpu.parallel.mesh import MODEL_AXIS
 
             tp = int(mesh.shape.get(MODEL_AXIS, 1))
+        # mesh is kept only when it actually tensor-parallelizes the model
+        self.mesh = mesh if tp > 1 else None
         if tp > 1:
             # Megatron head-split serving: params column/row-sharded, the
-            # packed cache lane-sharded (serving_state_sharding). The
-            # decode path must be the einsum one — GSPMD partitions
-            # einsums along the sharded head/lane axes but cannot
+            # packed cache lane-sharded (serving_state_sharding). GSPMD
+            # partitions the einsum decode path along the sharded
+            # head/lane axes; the flash kernel path instead goes through
+            # shard_map (_tp_decode_attention), since GSPMD cannot
             # partition a pallas_call.
-            import dataclasses
-
             from genomics_lm_tpu.parallel.sharding import tp_param_sharding
 
-            if cfg.kv_heads % tp:
+            if cfg.kv_heads % tp or cfg.n_head % tp:
                 raise ValueError(
-                    f"kv_heads {cfg.kv_heads} must divide over model={tp}")
-            self.cfg = cfg = dataclasses.replace(cfg, attention_impl="xla")
+                    f"kv_heads {cfg.kv_heads} / n_head {cfg.n_head} must "
+                    f"divide over model={tp}")
             params = jax.device_put(params, tp_param_sharding(params, mesh))
         self.params = params
         self.state = init_serving_state(cfg, self.slots, self.S, kv_quant)
@@ -575,7 +632,7 @@ class ServingEngine:
         self._key, sub = jax.random.split(self._key)
         self.state, toks = serve_steps(
             self.params, self.cfg, self.state, self.steps_per_sync,
-            jnp.asarray(self._temps), sub, self._allowed,
+            jnp.asarray(self._temps), sub, self._allowed, self.mesh,
         )
         return toks, list(self._slot_req)
 

@@ -93,15 +93,17 @@ class TestServingEngine:
         st = eng.stats()
         assert st["active"] == 0 and st["pending"] == 0 and st["completed"] == 3
 
+    @pytest.mark.parametrize("impl", ["xla", "flash"])
     @pytest.mark.parametrize("kv_quant", [False, True])
-    def test_tensor_parallel_engine_matches_single_device(self, kv_quant):
+    def test_tensor_parallel_engine_matches_single_device(self, kv_quant, impl):
         """Megatron head-split serving over a ('model',) mesh must emit
-        exactly the single-device engine's greedy tokens (GSPMD partitions
-        the einsum decode; the psum after the attention/MLP row-parallel
-        projections is numerically exact here)."""
+        exactly the single-device engine's greedy tokens. The einsum path
+        is partitioned by GSPMD; the flash path runs the Pallas kernel per
+        shard through shard_map (_tp_decode_attention) — both must agree
+        with the meshless engine bit for bit."""
         from genomics_lm_tpu.parallel.mesh import MODEL_AXIS, make_mesh
 
-        params, cfg = make_model()
+        params, cfg = make_model(attention_impl=impl)
         rng = np.random.default_rng(11)
         reqs = [([1] + [int(t) for t in rng.integers(4, 68, n)], b)
                 for n, b in [(8, 10), (14, 6), (5, 12)]]
