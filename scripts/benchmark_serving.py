@@ -45,6 +45,9 @@ def main(argv=None) -> int:
                     help="int8 KV cache with per-vector scales")
     ap.add_argument("--int8_weights", action="store_true",
                     help="weight-only int8 block linears (ops/quant.py)")
+    ap.add_argument("--arrival_rate", type=float, default=0.0,
+                    help="open-loop Poisson arrival rate (req/s); > 0 switches "
+                         "to the latency protocol (TTFT/ITL percentiles)")
     ap.add_argument("--sync", action="store_true",
                     help="synchronous drain (no chunk pipelining)")
     ap.add_argument("--seed", type=int, default=0)
@@ -94,8 +97,86 @@ def main(argv=None) -> int:
         results = eng.run(pipelined=not args.sync)
         return sum(len(r.tokens) for r in results.values())
 
+    def run_latency(reqs, seed, rate):
+        """Open-loop Poisson arrivals at ``rate`` req/s; returns per-request
+        (ttft, itl) seconds plus delivered/elapsed. Time-to-first-token
+        includes queueing, admission prefill, and the first decode chunk;
+        inter-token latency is the mean per-token spacing after the first
+        delta — both at chunk granularity, which is what a streaming
+        client actually observes."""
+        eng = ServingEngine(
+            params, cfg, slots=args.slots, max_seq_len=args.max_seq_len,
+            kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
+            seed=seed,
+        )
+        arr_rng = np.random.default_rng(seed + 7)
+        gaps = arr_rng.exponential(1.0 / rate, len(reqs))
+        t0 = time.perf_counter()
+        arrivals = np.cumsum(gaps) - gaps[0]
+        it = iter(zip(reqs, arrivals))
+        nxt = next(it)
+        t_submit, t_first, t_done, n_toks = {}, {}, {}, {}
+
+        def submit_due():
+            nonlocal nxt
+            now = time.perf_counter() - t0
+            while nxt is not None and nxt[1] <= now:
+                (prompt, budget), _ = nxt
+                rid = eng.submit(prompt, budget, temperature=args.temperature)
+                t_submit[rid] = time.perf_counter()
+                nxt = next(it, None)
+
+        delivered = 0
+        while nxt is not None or eng.pending or eng.n_active:
+            submit_due()
+            if not eng.pending and eng.n_active == 0:
+                time.sleep(max(0.0, min(0.005, nxt[1] - (time.perf_counter() - t0))))
+                continue
+            for rid, toks, reason in eng.stream(pipelined=not args.sync):
+                now = time.perf_counter()
+                t_first.setdefault(rid, now)
+                n_toks[rid] = n_toks.get(rid, 0) + len(toks)
+                delivered += len(toks)
+                if reason:
+                    t_done[rid] = now
+                submit_due()
+        elapsed = time.perf_counter() - t0
+        ttft = [t_first[r] - t_submit[r] for r in t_first]
+        itl = [(t_done[r] - t_first[r]) / max(n_toks[r] - 1, 1)
+               for r in t_done if n_toks.get(r, 0) > 1]
+        return ttft, itl, delivered, elapsed
+
     # compile + warm on a small queue (same shapes: bucketed prompts)
     run_queue(build_queue(min(args.slots, args.requests)), args.seed + 1)
+
+    if args.arrival_rate > 0:
+        reqs = build_queue(args.requests)
+        ttft, itl, delivered, elapsed = run_latency(
+            reqs, args.seed, args.arrival_rate)
+        pct = lambda xs, q: round(float(np.percentile(xs, q)) * 1e3, 1)
+        report = {
+            "metric": "serving_latency_ms",
+            "value": pct(ttft, 50),
+            "unit": "ms_ttft_p50",
+            "ttft_p50_ms": pct(ttft, 50),
+            "ttft_p95_ms": pct(ttft, 95),
+            "ttft_p99_ms": pct(ttft, 99),
+            "itl_p50_ms": pct(itl, 50),
+            "itl_p95_ms": pct(itl, 95),
+            "arrival_rate_req_per_sec": args.arrival_rate,
+            "throughput_tok_per_sec": round(delivered / elapsed, 1),
+            "requests": args.requests,
+            "slots": args.slots,
+            "steps_per_sync": args.steps_per_sync,
+            "kv_quant": bool(args.kv_quant),
+            "int8_weights": bool(args.int8_weights),
+            "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd}",
+        }
+        if args.out:
+            Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+            Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+        print(json.dumps(report))
+        return 0
 
     reqs = build_queue(args.requests)
     t0 = time.perf_counter()
