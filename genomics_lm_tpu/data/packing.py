@@ -247,20 +247,27 @@ def pack_chunks(
             b = _WindowBuilder(capacity, sep_id)
             b.add(c)
             bins.append(b)
+        # best-fit decreasing over a bisect-sorted (room, bin) list:
+        # O(n log n) placement (a linear first-fit scan is quadratic once
+        # most bins are nearly full — hours on ~10⁶-chunk corpora). "room"
+        # is the largest chunk a bin can still accept, SEP included.
+        import bisect
+
+        room_of = lambda b: capacity - len(b.tokens) - (1 if b.tokens else 0)
+        by_room = sorted(
+            ((room_of(b), i) for i, b in enumerate(bins)))
         order = sorted(whole, key=lambda c: (-len(c.tokens),) + ident(c))
         for c in order:
             need = len(c.tokens)
-            placed = False
-            for b in bins:
-                sep_cost = 1 if b.tokens else 0
-                if len(b.tokens) + sep_cost + need <= capacity:
-                    b.add(c)
-                    placed = True
-                    break
-            if not placed:
-                b = _WindowBuilder(capacity, sep_id)
-                b.add(c)
-                bins.append(b)
+            j = bisect.bisect_left(by_room, (need, -1))
+            if j < len(by_room):
+                _, i = by_room.pop(j)  # tightest sufficient bin (best fit)
+                bins[i].add(c)
+            else:
+                bins.append(_WindowBuilder(capacity, sep_id))
+                i = len(bins) - 1
+                bins[i].add(c)
+            bisect.insort(by_room, (room_of(bins[i]), i))
         for b in bins:
             b.flush()
             out.extend(b.done)

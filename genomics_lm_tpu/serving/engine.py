@@ -487,6 +487,7 @@ class ServingEngine:
             self._allowed = jnp.asarray(m)
         self.pending: list[Request] = []
         self.results: dict[int, RequestResult] = {}
+        self._completed = 0  # finished (incl. cancelled); thread-safe to read
         self._slot_req: list[Request | None] = [None] * self.slots
         self._next_id = 0
 
@@ -496,13 +497,20 @@ class ServingEngine:
                stop_ids: tuple[int, ...] = ()) -> int:
         if not prompt:
             raise ValueError("empty prompt")
+        tokens = list(map(int, prompt))
+        bad = [t for t in tokens if not 0 <= t < self.cfg.vocab_size]
+        if bad:
+            raise ValueError(
+                f"prompt token {bad[0]} outside vocabulary [0, {self.cfg.vocab_size})")
+        if int(max_new_tokens) < 1:
+            raise ValueError("max_new_tokens must be >= 1")
         budget = len(prompt) + int(max_new_tokens)
         if budget > self.S:
             raise ValueError(
                 f"prompt+max_new_tokens {budget} exceeds engine max_seq_len {self.S}")
         rid = self._next_id
         self._next_id += 1
-        self.pending.append(Request(rid, list(map(int, prompt)),
+        self.pending.append(Request(rid, tokens,
                                     int(max_new_tokens), float(temperature),
                                     tuple(stop_ids)))
         return rid
@@ -522,10 +530,12 @@ class ServingEngine:
                 res = self.results.setdefault(
                     request_id, RequestResult(request_id, list(req.prompt)))
                 res.finish_reason = "cancelled"
+                self._completed += 1
                 return True
         for slot, req in enumerate(self._slot_req):
             if req is not None and req.request_id == request_id:
                 self.results[req.request_id].finish_reason = "cancelled"
+                self._completed += 1
                 self._slot_req[slot] = None
                 freed = np.zeros((self.slots,), bool)
                 freed[slot] = True
@@ -539,8 +549,7 @@ class ServingEngine:
             "slots": self.slots,
             "active": self.n_active,
             "pending": len(self.pending),
-            "completed": sum(
-                1 for r in self.results.values() if r.finish_reason),
+            "completed": self._completed,
             "max_seq_len": self.S,
             "kv_quant": self.kv_quant,
             "steps_per_sync": self.steps_per_sync,
@@ -616,6 +625,7 @@ class ServingEngine:
             if res.finish_reason:
                 finished[slot] = True
                 self._slot_req[slot] = None
+                self._completed += 1
         if finished.any():
             self.state = deactivate(self.state, jnp.asarray(finished))
         return events
@@ -684,14 +694,25 @@ class ServingEngine:
             raise RuntimeError("serving run did not drain within max_chunks")
 
         inflight = None  # (tokens, slot→request snapshot at dispatch)
-        for _ in range(max_chunks):
-            if not self.pending and self.n_active == 0 and inflight is None:
-                return
-            chunk = self._dispatch_chunk()
+        try:
+            for _ in range(max_chunks):
+                if not self.pending and self.n_active == 0 and inflight is None:
+                    return
+                # swap BEFORE yielding: _retire completes its bookkeeping
+                # before any event is yielded, so if the consumer closes the
+                # generator mid-yield, `inflight` is exactly the one chunk
+                # still needing retirement (no double-retire of `prev`)
+                prev, inflight = inflight, self._dispatch_chunk()
+                if prev is not None:
+                    # fetch overlaps with the chunk dispatched above
+                    yield from self._retire(np.asarray(prev[0]), prev[1])
+        finally:
+            # an abandoned generator (consumer break / close) must not drop
+            # the dispatched-but-unretired chunk: the device state already
+            # advanced, so skipping retirement would leave a silent gap in
+            # every active request's tokens if draining resumes later
             if inflight is not None:
-                # fetch overlaps with the chunk dispatched above
-                yield from self._retire(np.asarray(inflight[0]), inflight[1])
-            inflight = chunk
+                self._retire(np.asarray(inflight[0]), inflight[1])
         raise RuntimeError("serving run did not drain within max_chunks")
 
 

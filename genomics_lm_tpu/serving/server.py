@@ -55,6 +55,8 @@ class InferenceServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # chunked TE is 1.1-only
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -161,15 +163,30 @@ class InferenceServer:
             except queue.Empty:
                 continue
             self._admit_submissions()
-            for rid, toks, reason in self.engine.stream(_MAX_CHUNKS):
-                q = self._events.get(rid)
-                if q is not None:
-                    q.put((rid, list(toks), reason))
-                    if reason:
-                        del self._events[rid]
-                self._admit_submissions()
-                if self._stop.is_set():
-                    return
+            try:
+                for rid, toks, reason in self.engine.stream(_MAX_CHUNKS):
+                    q = self._events.get(rid)
+                    if q is not None:
+                        q.put((rid, list(toks), reason))
+                        if reason:
+                            del self._events[rid]
+                    self._admit_submissions()
+                    if self._stop.is_set():
+                        return
+            except Exception as e:  # noqa: BLE001 — the scheduler must survive
+                # fail the requests that were in flight, keep serving: a
+                # dead scheduler thread would hang every future request
+                # while /health still answered
+                import traceback
+
+                traceback.print_exc()
+                for rid, q in list(self._events.items()):
+                    q.put((rid, [], f"error: {type(e).__name__}: {e}"))
+                    del self._events[rid]
+                    try:
+                        self.engine.cancel(rid)
+                    except Exception:  # noqa: BLE001
+                        pass
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> None:

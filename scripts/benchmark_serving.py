@@ -121,9 +121,12 @@ def main(argv=None) -> int:
             nonlocal nxt
             now = time.perf_counter() - t0
             while nxt is not None and nxt[1] <= now:
-                (prompt, budget), _ = nxt
+                (prompt, budget), arrival = nxt
                 rid = eng.submit(prompt, budget, temperature=args.temperature)
-                t_submit[rid] = time.perf_counter()
+                # open-loop: latency counts from the SCHEDULED arrival, so
+                # the wait between arrival and this (possibly late) submit
+                # is charged to TTFT as queueing delay
+                t_submit[rid] = t0 + arrival
                 nxt = next(it, None)
 
         delivered = 0

@@ -337,6 +337,17 @@ class TestInferenceServer:
                 raise AssertionError("expected 400")
             except urllib.error.HTTPError as e:
                 assert e.code == 400
+            # out-of-vocabulary / overflowing tokens must 400, not kill
+            # the scheduler thread
+            for bad in ([1099511627776, 1], [1, -3], [1, 9999]):
+                try:
+                    post({"prompt": bad, "max_new_tokens": 4})
+                    raise AssertionError("expected 400")
+                except urllib.error.HTTPError as e:
+                    assert e.code == 400
+            # the engine must still serve after the rejects
+            status, _ = post({"prompt": prompts[1], "max_new_tokens": 4})
+            assert status == 200
             # DNA in / DNA out
             status, body = post({"dna": "ATGGCT", "max_new_tokens": 4})
             out = _json.loads(body)
