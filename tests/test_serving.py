@@ -279,6 +279,47 @@ class TestServingEngine:
         assert not bool(st["active"].any())
 
 
+class TestSchedulingFuzz:
+    def test_random_workloads_match_offline(self):
+        """Randomized mixed workloads: random prompt/budget/stop-id mixes,
+        random slot counts and chunk sizes, pipelined or sync, with random
+        mid-drain cancellations — every non-cancelled greedy request must
+        emit exactly its offline prefix-truncated generation."""
+        params, cfg = make_model()
+        rng = np.random.default_rng(123)
+        for trial in range(4):
+            slots = int(rng.integers(1, 4))
+            chunk = int(rng.integers(2, 7))
+            n_req = int(rng.integers(3, 8))
+            eng = ServingEngine(params, cfg, slots=slots, steps_per_sync=chunk)
+            reqs = []
+            for _ in range(n_req):
+                p = [1] + [int(t) for t in rng.integers(4, 68, int(rng.integers(3, 20)))]
+                budget = int(rng.integers(1, 18))
+                stop = (int(rng.integers(4, 68)),) if rng.random() < 0.5 else ()
+                rid = eng.submit(p, budget, stop_ids=stop)
+                reqs.append((rid, p, budget, stop))
+            cancel_rid = reqs[int(rng.integers(len(reqs)))][0] if rng.random() < 0.4 else None
+            pipelined = bool(rng.random() < 0.5)
+            seen = 0
+            for ev in eng.stream(pipelined=pipelined):
+                seen += 1
+                if cancel_rid is not None and seen == 2:
+                    eng.cancel(cancel_rid)
+            res = eng.results
+            for rid, p, budget, stop in reqs:
+                if rid == cancel_rid:
+                    continue
+                offline = offline_greedy(params, cfg, p, budget)
+                want = []
+                for t in offline:
+                    want.append(t)
+                    if t in stop:
+                        break
+                assert res[rid].tokens == want, (trial, rid)
+                assert res[rid].finish_reason in ("stop", "length")
+
+
 class TestInferenceServer:
     def test_http_generate_stats_and_stream(self):
         """End-to-end HTTP: concurrent non-stream + stream requests through
