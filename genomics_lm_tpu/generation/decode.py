@@ -89,11 +89,12 @@ def init_cache(
     return cache
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4, 6))
 def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
             cache_size: int | None = None,
             kv_quant: bool = False,
-            last_index: jnp.ndarray | None = None) -> tuple[jnp.ndarray, dict, dict]:
+            last_index: jnp.ndarray | None = None,
+            want_aux: bool = True) -> tuple[jnp.ndarray, dict, dict]:
     """Full forward over the prompt, returning (last logits, cache, aux).
 
     Prompt attention always runs full precision; with ``kv_quant`` the K/V
@@ -141,7 +142,9 @@ def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
 
     x = _layer_norm(params["ln_f"], x)
     logits = _lm_logits(params, cfg, x)
-    aux = _aux_heads(params, cfg, x)
+    # aux heads (termination + per-offset MLPs + extra LM-head matmuls over
+    # all T) are dead weight for generation/serving prefills — static-gated
+    aux = _aux_heads(params, cfg, x) if want_aux else {}
 
     k_stack, v_stack = jnp.stack(ks), jnp.stack(vs)
     if kv_quant:
@@ -161,6 +164,16 @@ def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
         take = lambda a: a[:, -1]
         cache["seg_count"] = seg[:, -1]
     else:
+        last = jnp.asarray(last_index, jnp.int32)
+        if last.ndim == 0:
+            # uniform right-padding: set the cache length to the true end
+            # so a subsequent decode_step overwrites the pad K/V instead
+            # of attending them and appending after the pads
+            cache["length"] = last + 1
+        # ragged (B,) last_index: a scalar cache length cannot represent
+        # per-row ends — the returned cache is then only consumable by
+        # ragged consumers that track their own lengths (the serving
+        # engine), NOT by decode_step
         take = lambda a: a[jnp.arange(B), last_index]
         cache["seg_count"] = take(seg)
     return take(logits), cache, {k: take(v) for k, v in aux.items()}
@@ -338,8 +351,15 @@ def generate_tokens(
     step.
     """
     horizon = prompt.shape[1] + int(n_tokens)
+    if horizon > cfg.block_size:
+        # past block_size the static cache clamps writes to the last slot
+        # and positions clip — silently-garbage tokens; fail loudly (the
+        # clip-and-recompute fallback lives in next_token_logits)
+        raise ValueError(
+            f"prompt+n_tokens {horizon} exceeds block_size {cfg.block_size}")
     logits, cache, _ = prefill(
-        params, cfg, prompt, cache_bucket(cfg, horizon), kv_quant
+        params, cfg, prompt, cache_bucket(cfg, horizon), kv_quant,
+        want_aux=False,
     )
 
     def body(carry, key):
@@ -379,8 +399,12 @@ def generate_masked_tokens(
     high-throughput batched variant for the design-loop's candidate
     fan-out)."""
     horizon = prompt.shape[1] + int(n_tokens)
+    if horizon > cfg.block_size:
+        raise ValueError(
+            f"prompt+n_tokens {horizon} exceeds block_size {cfg.block_size}")
     logits, cache, _ = prefill(
-        params, cfg, prompt, cache_bucket(cfg, horizon), kv_quant
+        params, cfg, prompt, cache_bucket(cfg, horizon), kv_quant,
+        want_aux=False,
     )
     neg = jnp.asarray(NEG_INF, jnp.float32)
 

@@ -92,6 +92,11 @@ def attention(
     lowers them to a dense mask here.
     """
     if impl == "flash":
+        if mask is not None:
+            raise ValueError(
+                "impl='flash' consumes structured masks (segment_ids / "
+                "attention_window), not a dense mask — pass impl='xla' "
+                "or express the mask structurally")
         from genomics_lm_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(

@@ -450,13 +450,25 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Flash attention with the framework's structured masks.
 
-    q: (B, Hq, T, D); k, v: (B, Hkv, S, D); segment_ids: (B, S) int (query
-    segments are the trailing T entries, supporting cached decode suffixes).
-    Numerics match ``ops.attention.sdpa_xla`` to float tolerance.
+    q: (B, Hq, T, D); k, v: (B, Hkv, S, D) with T == S (full-sequence
+    attention — the training path). Numerics match
+    ``ops.attention.sdpa_xla`` to float tolerance.
+
+    T < S (cached-decode suffix queries) is NOT supported: the causal
+    band here is top-left aligned, so suffix queries would be treated as
+    positions 0..T-1 instead of S-T..S-1 and silently mask out most of
+    the cache — the fused decode path (``ops/decode_attention.py``)
+    covers single-token decode, and ``generation.decode.prefill``
+    measured faster on the einsum path for prompt-length prefills, so no
+    caller needs the suffix case; it fails loudly instead.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Hq, T, D = q.shape
+    if k.shape[2] != T:
+        raise ValueError(
+            f"flash_attention requires T == S (got T={T}, S={k.shape[2]}); "
+            "suffix queries would get a top-left-aligned causal mask")
     Hkv = k.shape[1]
     if Hq != Hkv:
         if Hq % Hkv != 0:

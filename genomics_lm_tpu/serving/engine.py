@@ -144,7 +144,7 @@ def admit_many(params, cfg: CodonGPTConfig, state: dict, slot_idx: jnp.ndarray,
     N, P = prompts.shape
     B = state["lengths"].shape[0]
     logits, mini, _ = prefill(params, cfg, prompts, P, kv_quant,
-                              jnp.maximum(prompt_lens - 1, 0))
+                              jnp.maximum(prompt_lens - 1, 0), want_aux=False)
 
     onehot_b = (slot_idx[None, :] == jnp.arange(B)[:, None]) & valid[None, :]
     written = jnp.any(onehot_b, axis=1)  # (B,)

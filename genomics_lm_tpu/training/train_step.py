@@ -238,22 +238,37 @@ def make_train_step(
 
             def loss_fn(p):
                 if use_replay:
-                    # replay loss participates only on flagged microbatches
+                    # replay loss participates only on flagged microbatches;
+                    # the cond holds ONLY the replay forward — the previous
+                    # form recomputed the whole composite_loss (main batch
+                    # included) inside the branch, doubling the main
+                    # fwd/bwd on every replay microbatch
                     total_base, parts = composite_loss(
                         p, model_cfg, loss_cfg, xb, yb,
                         train=True, rng=mrng, replay=None,
                         shape_lookup=shape_lookup,
                     )
                     def with_replay(_):
-                        total_r, parts_r = composite_loss(
-                            p, model_cfg, loss_cfg, xb, yb,
-                            train=True, rng=mrng, replay=replay,
-                            shape_lookup=shape_lookup,
+                        replay_x, replay_labels = replay
+                        _, _, r_aux = codon_gpt.forward(
+                            p, model_cfg, replay_x, None, train=True,
+                            rng=mrng, return_aux=True,
                         )
-                        return total_r, parts_r.get("replay_loss", jnp.float32(0.0))
+                        r_cw = (
+                            jnp.asarray(loss_cfg.replay_class_weights, jnp.float32)
+                            if loss_cfg.replay_class_weights
+                            else None
+                        )
+                        rl = L.termination_aux_loss(
+                            r_aux["termination_logits"], replay_labels,
+                            class_weights=r_cw,
+                        )
+                        return jnp.float32(loss_cfg.replay_weight) * rl, rl
                     def without_replay(_):
-                        return total_base, jnp.float32(jnp.nan)
-                    total, replay_loss = jax.lax.cond(replay_on, with_replay, without_replay, None)
+                        return jnp.float32(0.0), jnp.float32(jnp.nan)
+                    contrib, replay_loss = jax.lax.cond(
+                        replay_on, with_replay, without_replay, None)
+                    total = total_base + contrib
                     parts["replay_loss_value"] = replay_loss
                     return total, parts
                 return composite_loss(
@@ -289,8 +304,9 @@ def make_train_step(
             )
             metrics["saw_nonfinite"] |= ~finite
             for offset, _ in loss_cfg.multi_offset_weights:
+                # .get: the loss skips zero-weight / out-of-range offsets
                 metrics[f"offset_{offset}_sum"] += jnp.where(
-                    finite, parts["offset_losses"][offset], 0.0
+                    finite, parts["offset_losses"].get(offset, jnp.float32(0.0)), 0.0
                 )
             if loss_cfg.termination_enabled:
                 metrics["term_loss_sum"] += jnp.where(finite, parts["term_loss"], 0.0)
@@ -358,7 +374,8 @@ def make_eval_step(
             * jnp.sum(yb != L.PAD_ID).astype(jnp.float32),
         }
         for offset, _ in loss_cfg.multi_offset_weights:
-            out[f"offset_{offset}"] = parts["offset_losses"][offset]
+            out[f"offset_{offset}"] = parts["offset_losses"].get(
+                offset, jnp.float32(0.0))
         if loss_cfg.termination_enabled:
             out["term_loss"] = parts["term_loss"]
         return out
