@@ -61,6 +61,7 @@ class _FlashConfig(NamedTuple):
     block_q: int
     block_k: int
     interpret: bool
+    q_offset: int = 0  # S - T: bottom-right-aligns suffix queries (0 = full)
 
 
 def _pick_block(T: int, preferred: int) -> int:
@@ -73,12 +74,13 @@ def _pick_block(T: int, preferred: int) -> int:
 def _band_bounds(cfg: _FlashConfig, qi, num_kb: int, block_q: int, block_k: int):
     """Key-block range [lo, hi) overlapping the causal/window band of q-block qi."""
     if cfg.causal:
-        hi = jax.lax.div((qi + 1) * block_q - 1, block_k) + 1
+        hi = jax.lax.div((qi + 1) * block_q - 1 + cfg.q_offset, block_k) + 1
         hi = jnp.minimum(hi, num_kb)
     else:
         hi = num_kb
     if cfg.window is not None:
-        lo = jnp.maximum(jax.lax.div(qi * block_q - cfg.window + 1, block_k), 0)
+        lo = jnp.maximum(
+            jax.lax.div(qi * block_q + cfg.q_offset - cfg.window + 1, block_k), 0)
     else:
         lo = 0
     return lo, hi
@@ -86,7 +88,8 @@ def _band_bounds(cfg: _FlashConfig, qi, num_kb: int, block_q: int, block_k: int)
 
 def _block_mask(cfg: _FlashConfig, qi, kj, block_q: int, block_k: int):
     """(block_q, block_k) boolean mask for the causal/window predicates."""
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    q_pos = (cfg.q_offset + qi * block_q
+             + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
     k_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     mask = jnp.ones((block_q, block_k), dtype=jnp.bool_)
     if cfg.causal:
@@ -322,11 +325,12 @@ def _bwd_dkv_kernel(cfg: _FlashConfig, seed_ref, q_ref, k_ref, v_ref, qseg_ref, 
         return dk_acc, dv_acc
 
     if cfg.causal:
-        lo = jax.lax.div(kj * block_k, block_q)
+        lo = jnp.maximum(jax.lax.div(kj * block_k - cfg.q_offset, block_q), 0)
     else:
         lo = 0
     if cfg.window is not None:
-        hi = jax.lax.div((kj + 1) * block_k - 1 + cfg.window - 1, block_q) + 1
+        hi = jax.lax.div(
+            (kj + 1) * block_k - 1 + cfg.window - 1 - cfg.q_offset, block_q) + 1
         hi = jnp.minimum(hi, num_qb)
     else:
         hi = num_qb
@@ -450,25 +454,19 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Flash attention with the framework's structured masks.
 
-    q: (B, Hq, T, D); k, v: (B, Hkv, S, D) with T == S (full-sequence
-    attention — the training path). Numerics match
-    ``ops.attention.sdpa_xla`` to float tolerance.
-
-    T < S (cached-decode suffix queries) is NOT supported: the causal
-    band here is top-left aligned, so suffix queries would be treated as
-    positions 0..T-1 instead of S-T..S-1 and silently mask out most of
-    the cache — the fused decode path (``ops/decode_attention.py``)
-    covers single-token decode, and ``generation.decode.prefill``
-    measured faster on the einsum path for prompt-length prefills, so no
-    caller needs the suffix case; it fails loudly instead.
+    q: (B, Hq, T, D); k, v: (B, Hkv, S, D); segment_ids: (B, S) int (query
+    segments are the trailing T entries). With T < S the queries are the
+    SUFFIX of the key sequence (cached-decode semantics): the causal band
+    is bottom-right aligned via a static position offset S - T, matching
+    ``ops.attention.sdpa_xla``'s alignment. Numerics match ``sdpa_xla``
+    to float tolerance.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Hq, T, D = q.shape
-    if k.shape[2] != T:
+    if k.shape[2] < T:
         raise ValueError(
-            f"flash_attention requires T == S (got T={T}, S={k.shape[2]}); "
-            "suffix queries would get a top-left-aligned causal mask")
+            f"key length {k.shape[2]} shorter than query length {T}")
     Hkv = k.shape[1]
     if Hq != Hkv:
         if Hq % Hkv != 0:
@@ -491,6 +489,7 @@ def flash_attention(
         block_q=block_q,
         block_k=block_k,
         interpret=bool(interpret),
+        q_offset=k.shape[2] - T,
     )
     (out,) = _flash(cfg, q, k, v, segment_ids, seed)
     return out

@@ -121,3 +121,58 @@ class TestLargeTiles:
         fused = codon_gpt.forward(params, cfg.replace(fused_qkv=True), x)[0]
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                    atol=1e-5)
+
+
+class TestSuffixQueries:
+    """T < S: queries are the suffix of the key sequence (cached decode).
+    The flash band must bottom-right align (positions S-T..S-1)."""
+
+    @pytest.mark.parametrize("case", [
+        dict(), dict(window=9), dict(seg=True), dict(seg=True, window=13),
+    ], ids=["causal", "window", "seg", "seg+window"])
+    def test_suffix_matches_dense_reference(self, case):
+        from genomics_lm_tpu.ops.attention import sdpa_xla
+
+        S, Tq = 64, 16
+        rng2 = np.random.default_rng(11)
+        q = jnp.asarray(rng2.normal(size=(B, H, Tq, D)), jnp.float32)
+        k = jnp.asarray(rng2.normal(size=(B, H, S, D)), jnp.float32)
+        v = jnp.asarray(rng2.normal(size=(B, H, S, D)), jnp.float32)
+        seg = None
+        if case.get("seg"):
+            tokens = rng2.integers(4, 68, (B, S))
+            tokens[:, ::17] = 3
+            seg = segment_ids_from_tokens(jnp.asarray(tokens), 3)
+        window = case.get("window")
+
+        q_pos = jnp.arange(Tq) + (S - Tq)
+        k_pos = jnp.arange(S)
+        dense = (q_pos[:, None] >= k_pos[None, :])[None, None]
+        if window is not None:
+            dense = dense & ((q_pos[:, None] - k_pos[None, :]) < window)[None, None]
+        dense = jnp.broadcast_to(dense, (B, 1, Tq, S))
+        if seg is not None:
+            seg_eq = seg[:, S - Tq:, None] == seg[:, None, :]
+            dense = dense & seg_eq[:, None, :, :]
+
+        ref = sdpa_xla(q, k, v, mask=dense)
+        out = flash_attention(q, k, v, segment_ids=seg,
+                              attention_window=window, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+        # gradients through the custom VJP, same alignment
+        def loss(fn):
+            return jax.grad(lambda *a: jnp.sum(fn(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+
+        g_ref = loss(lambda q, k, v: sdpa_xla(q, k, v, mask=dense))
+        g_out = loss(lambda q, k, v: flash_attention(
+            q, k, v, segment_ids=seg, attention_window=window, interpret=True))
+        for a, b in zip(g_ref, g_out):
+            scale = float(jnp.abs(a).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-4)
+
+    def test_key_shorter_than_query_rejected(self):
+        q, k, v = make_qkv()
+        with pytest.raises(ValueError):
+            flash_attention(q, k[:, :, :T // 2], v[:, :, :T // 2], interpret=True)
