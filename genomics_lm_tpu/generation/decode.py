@@ -32,6 +32,7 @@ from genomics_lm_tpu.models.codon_gpt import (
     _lm_logits,
     _qkv,
     apply_rope,
+    block_epilogue,
     rope_cos_sin,
 )
 from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
@@ -129,16 +130,7 @@ def prefill(params, cfg: CodonGPTConfig, idx: jnp.ndarray,
 
         y = attention(q, k, v, segment_ids=seg if cfg.sep_id is not None else None)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, cfg.n_embd)
-        x = x + _linear(block_p["attn"]["proj"], y)
-        h2 = _layer_norm(block_p["ln2"], x)
-        if cfg.use_swiglu:
-            m = _linear(block_p["mlp"]["w_down"],
-                        jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h2))
-                        * _linear(block_p["mlp"]["w_up"], h2))
-        else:
-            m = _linear(block_p["mlp"]["proj"],
-                        jax.nn.gelu(_linear(block_p["mlp"]["fc"], h2), approximate=False))
-        x = x + m
+        x = block_epilogue(block_p, cfg, x, y)
 
     x = _layer_norm(params["ln_f"], x)
     logits = _lm_logits(params, cfg, x)
@@ -283,16 +275,7 @@ def _decode_step_impl(params, cfg: CodonGPTConfig, cache: dict, token: jnp.ndarr
                 compute_dtype=cfg.dtype, kv_heads=cfg.kv_heads,
             )
         y = y.astype(cfg.dtype).reshape(B, 1, cfg.n_embd)
-        x = x + _linear(block_p["attn"]["proj"], y)
-        h2 = _layer_norm(block_p["ln2"], x)
-        if cfg.use_swiglu:
-            m = _linear(block_p["mlp"]["w_down"],
-                        jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h2))
-                        * _linear(block_p["mlp"]["w_up"], h2))
-        else:
-            m = _linear(block_p["mlp"]["proj"],
-                        jax.nn.gelu(_linear(block_p["mlp"]["fc"], h2), approximate=False))
-        x = x + m
+        x = block_epilogue(block_p, cfg, x, y)
 
     x = _layer_norm(params["ln_f"], x)
     logits = _lm_logits(params, cfg, x)[:, 0]

@@ -232,6 +232,38 @@ def _constrain_residual(x, cfg: CodonGPTConfig):
     return jax.lax.with_sharding_constraint(x, P(*cfg.residual_sharding))
 
 
+def block_epilogue(block_p, cfg: CodonGPTConfig, x, y_attn, *,
+                   train: bool = False, mlp_rng=None, constrain: bool = False):
+    """Post-attention half of a transformer block, shared by every path.
+
+    Residual-adds the attention output projection, applies LN2 and the
+    (SwiGLU | GELU) MLP with its residual. The attention computation is
+    the only part that differs between the training forward, attention
+    maps, prompt prefill, single-token decode, and the serving ragged
+    decode — they all call this for the rest, so block-body changes land
+    once. ``constrain`` applies the sequence-parallel residual sharding
+    (training path only; decode operates on (B, 1, C) where a sharded T
+    axis is meaningless)."""
+    x = x + _linear(block_p["attn"]["proj"], y_attn)
+    if constrain:
+        x = _constrain_residual(x, cfg)
+    h = _layer_norm(block_p["ln2"], x)
+    if cfg.use_swiglu:
+        m = _linear(block_p["mlp"]["w_down"],
+                    jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h))
+                    * _linear(block_p["mlp"]["w_up"], h))
+    else:
+        m = _linear(block_p["mlp"]["proj"],
+                    jax.nn.gelu(_linear(block_p["mlp"]["fc"], h), approximate=False))
+    if train and mlp_rng is not None and cfg.dropout > 0.0:
+        keep = jax.random.bernoulli(mlp_rng, 1.0 - cfg.dropout, m.shape)
+        m = jnp.where(keep, m / (1.0 - cfg.dropout), 0.0)
+    x = x + m
+    if constrain:
+        x = _constrain_residual(x, cfg)
+    return x
+
+
 def _block_apply(
     block_p,
     x,
@@ -263,19 +295,8 @@ def _block_apply(
         block_k=cfg.flash_block_k,
     )
     y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
-    x = _constrain_residual(x + _linear(block_p["attn"]["proj"], y), cfg)
-
-    h = _layer_norm(block_p["ln2"], x)
-    if cfg.use_swiglu:
-        m = _linear(block_p["mlp"]["w_down"],
-                    jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h))
-                    * _linear(block_p["mlp"]["w_up"], h))
-    else:
-        m = _linear(block_p["mlp"]["proj"], jax.nn.gelu(_linear(block_p["mlp"]["fc"], h), approximate=False))
-    if train and mlp_rng is not None and cfg.dropout > 0.0:
-        keep = jax.random.bernoulli(mlp_rng, 1.0 - cfg.dropout, m.shape)
-        m = jnp.where(keep, m / (1.0 - cfg.dropout), 0.0)
-    return _constrain_residual(x + m, cfg)
+    return block_epilogue(block_p, cfg, x, y, train=train, mlp_rng=mlp_rng,
+                          constrain=True)
 
 
 def _embed(params, cfg: CodonGPTConfig, idx, shape_embeddings, *, train, rng):
@@ -482,15 +503,7 @@ def attention_maps(
         maps.append(probs)
         B, _, T_, _ = q.shape
         y = y.transpose(0, 2, 1, 3).reshape(B, T_, cfg.n_embd)
-        x = x + _linear(block_p["attn"]["proj"], y)
-        h2 = _layer_norm(block_p["ln2"], x)
-        if cfg.use_swiglu:
-            m = _linear(block_p["mlp"]["w_down"],
-                        jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h2))
-                        * _linear(block_p["mlp"]["w_up"], h2))
-        else:
-            m = _linear(block_p["mlp"]["proj"], jax.nn.gelu(_linear(block_p["mlp"]["fc"], h2), approximate=False))
-        x = x + m
+        x = block_epilogue(block_p, cfg, x, y)
     return maps
 
 

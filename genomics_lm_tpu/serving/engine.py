@@ -48,6 +48,7 @@ from genomics_lm_tpu.models.codon_gpt import (
     _linear,
     _lm_logits,
     _qkv,
+    block_epilogue,
     rope_cos_sin,
     rotate_half,
 )
@@ -335,16 +336,7 @@ def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray,
                 compute_dtype=cfg.dtype, kv_heads=cfg.kv_heads,
             )
         y = y.astype(cfg.dtype).reshape(B, 1, cfg.n_embd)
-        x = x + _linear(block_p["attn"]["proj"], y)
-        h2 = _layer_norm(block_p["ln2"], x)
-        if cfg.use_swiglu:
-            m = _linear(block_p["mlp"]["w_down"],
-                        jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h2))
-                        * _linear(block_p["mlp"]["w_up"], h2))
-        else:
-            m = _linear(block_p["mlp"]["proj"],
-                        jax.nn.gelu(_linear(block_p["mlp"]["fc"], h2), approximate=False))
-        x = x + m
+        x = block_epilogue(block_p, cfg, x, y)
 
     x = _layer_norm(params["ln_f"], x)
     logits = _lm_logits(params, cfg, x)[:, 0].astype(jnp.float32)
