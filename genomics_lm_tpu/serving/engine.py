@@ -471,6 +471,7 @@ class ServingEngine:
         self._admit_small = min(
             ((64 + PROMPT_BUCKET - 1) // PROMPT_BUCKET) * PROMPT_BUCKET, self.S)
         self._temps = np.zeros((self.slots,), np.float32)
+        self._temps_dev = jnp.asarray(self._temps)  # refreshed on admission
         self._key = jax.random.PRNGKey(seed)
         self._allowed = None
         if allowed_ids is not None:
@@ -575,6 +576,7 @@ class ServingEngine:
             self._temps[slot] = req.temperature
             self.results[req.request_id] = RequestResult(
                 req.request_id, list(req.prompt))
+        self._temps_dev = jnp.asarray(self._temps)
         self.state = admit_many(
             self.params, self.cfg, self.state,
             jnp.asarray(slot_idx), jnp.asarray(prompts),
@@ -634,7 +636,7 @@ class ServingEngine:
         self._key, sub = jax.random.split(self._key)
         self.state, toks = serve_steps(
             self.params, self.cfg, self.state, self.steps_per_sync,
-            jnp.asarray(self._temps), sub, self._allowed, self.mesh,
+            self._temps_dev, sub, self._allowed, self.mesh,
         )
         return toks, list(self._slot_req)
 
