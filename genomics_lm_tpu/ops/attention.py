@@ -112,15 +112,18 @@ def attention(
         raise ValueError(f"Unknown attention impl: {impl!r}")
 
     if segment_ids is not None or attention_window is not None:
-        T = q.shape[2]
-        positions = jnp.arange(T)
-        distance = positions[:, None] - positions[None, :]
+        T, S = q.shape[2], k.shape[2]
+        # bottom-right aligned: with T < S the queries are the suffix of
+        # the key sequence (matches flash_attention and sdpa_xla)
+        q_pos = jnp.arange(T) + (S - T)
+        k_pos = jnp.arange(S)
+        distance = q_pos[:, None] - k_pos[None, :]
         causal = distance >= 0
         if attention_window is not None:
             causal = causal & (distance < int(attention_window))
         dense = causal[None, None, :, :]
         if segment_ids is not None:
-            seg_eq = segment_ids[:, :, None] == segment_ids[:, None, :]
+            seg_eq = segment_ids[:, S - T:, None] == segment_ids[:, None, :]
             dense = dense & seg_eq[:, None, :, :]
         mask = dense if mask is None else (mask & dense)
     return sdpa_xla(

@@ -159,6 +159,10 @@ class TestSuffixQueries:
         out = flash_attention(q, k, v, segment_ids=seg,
                               attention_window=window, interpret=True)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+        # the dispatcher's structured-mask XLA lowering must align the same
+        via_xla = attention(q, k, v, segment_ids=seg,
+                            attention_window=window, impl="xla")
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(via_xla), atol=1e-5)
 
         # gradients through the custom VJP, same alignment
         def loss(fn):
