@@ -361,30 +361,53 @@ def serve_steps(
     cfg: CodonGPTConfig,
     state: dict,
     n_steps: int,
-    temps: jnp.ndarray,
+    sampling: dict,
     key: jax.Array,
     allowed_mask: jnp.ndarray | None = None,
     mesh=None,
 ) -> tuple[dict, jnp.ndarray]:
     """One compiled scan of ``n_steps`` ragged decode steps.
 
-    ``temps``: (B,) per-slot temperature, ≤0 = greedy. ``allowed_mask``:
-    optional (V,) bool vocabulary restriction (e.g. CDS codons). ``mesh``
-    (static): tensor-parallel serving mesh — routes the flash kernel
-    through shard_map (einsum/GSPMD paths ignore it). Returns
-    (new state, (B, n_steps) sampled tokens); tokens of inactive slots are
-    0. One device dispatch per chunk — the host syncs only at chunk
-    boundaries to admit/retire."""
+    ``sampling``: per-slot arrays — ``temps`` (B,) f32 (≤0 = greedy),
+    ``top_k`` (B,) int32 (0 = off), ``top_p`` (B,) f32 (≤0 or ≥1 = off);
+    filters apply in the usual top-k → top-p order on the
+    temperature-scaled distribution, entirely on device (V is small, so
+    the per-step sort is trivial). ``allowed_mask``: optional (V,) bool
+    vocabulary restriction (e.g. CDS codons). ``mesh`` (static):
+    tensor-parallel serving mesh — routes the flash kernel through
+    shard_map (einsum/GSPMD paths ignore it). Returns (new state,
+    (B, n_steps) sampled tokens); tokens of inactive slots are 0. One
+    device dispatch per chunk — the host syncs only at chunk boundaries
+    to admit/retire."""
     neg = jnp.asarray(NEG_INF, jnp.float32)
+    temps = sampling["temps"]
+    top_k = sampling["top_k"]
+    top_p = sampling["top_p"]
+    V = int(state["last_logits"].shape[-1])
 
     def body(state, key):
         logits = state["last_logits"]
         if allowed_mask is not None:
             logits = jnp.where(allowed_mask[None, :], logits, neg)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        sampled = jax.random.categorical(
-            key, logits / jnp.maximum(temps, 1e-6)[:, None], axis=-1
-        ).astype(jnp.int32)
+        scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+        # top-k: drop everything below the k-th largest (k = 0 disables)
+        desc = -jnp.sort(-scaled, axis=-1)
+        kth = jnp.take_along_axis(
+            desc, jnp.clip(top_k - 1, 0, V - 1)[:, None], axis=-1)
+        scaled = jnp.where((top_k > 0)[:, None] & (scaled < kth), neg, scaled)
+        # top-p (nucleus): keep the shortest descending-probability prefix
+        # whose cumulative mass reaches p (the argmax always survives)
+        desc_k = -jnp.sort(-scaled, axis=-1)
+        probs = jax.nn.softmax(desc_k, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        p_eff = jnp.where((top_p > 0) & (top_p < 1.0), top_p, 1.0)
+        n_keep = jnp.maximum(
+            jnp.sum((csum - probs) < p_eff[:, None], axis=-1), 1)
+        thr = jnp.take_along_axis(desc_k, (n_keep - 1)[:, None], axis=-1)
+        nucleus_on = ((top_p > 0) & (top_p < 1.0))[:, None]
+        scaled = jnp.where(nucleus_on & (scaled < thr), neg, scaled)
+        sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
         token = jnp.where(temps <= 0, greedy, sampled)
         token = jnp.where(state["active"], token, 0)
         _, state = _ragged_decode(params, cfg, state, token, mesh)
@@ -401,6 +424,8 @@ class Request:
     max_new_tokens: int
     temperature: float = 0.0
     stop_ids: tuple[int, ...] = ()
+    top_k: int = 0       # 0 = disabled
+    top_p: float = 0.0   # <=0 or >=1 = disabled
 
 
 @dataclass
@@ -471,7 +496,9 @@ class ServingEngine:
         self._admit_small = min(
             ((64 + PROMPT_BUCKET - 1) // PROMPT_BUCKET) * PROMPT_BUCKET, self.S)
         self._temps = np.zeros((self.slots,), np.float32)
-        self._temps_dev = jnp.asarray(self._temps)  # refreshed on admission
+        self._topk = np.zeros((self.slots,), np.int32)
+        self._topp = np.zeros((self.slots,), np.float32)
+        self._samp_dev = self._sampling_device()  # refreshed on admission
         self._key = jax.random.PRNGKey(seed)
         self._allowed = None
         if allowed_ids is not None:
@@ -484,10 +511,18 @@ class ServingEngine:
         self._slot_req: list[Request | None] = [None] * self.slots
         self._next_id = 0
 
+    def _sampling_device(self) -> dict:
+        return {
+            "temps": jnp.asarray(self._temps),
+            "top_k": jnp.asarray(self._topk),
+            "top_p": jnp.asarray(self._topp),
+        }
+
     # -- queue -------------------------------------------------------------
     def submit(self, prompt: list[int], max_new_tokens: int,
                temperature: float = 0.0,
-               stop_ids: tuple[int, ...] = ()) -> int:
+               stop_ids: tuple[int, ...] = (),
+               top_k: int = 0, top_p: float = 0.0) -> int:
         if not prompt:
             raise ValueError("empty prompt")
         tokens = list(map(int, prompt))
@@ -505,7 +540,7 @@ class ServingEngine:
         self._next_id += 1
         self.pending.append(Request(rid, tokens,
                                     int(max_new_tokens), float(temperature),
-                                    tuple(stop_ids)))
+                                    tuple(stop_ids), int(top_k), float(top_p)))
         return rid
 
     @property
@@ -574,9 +609,11 @@ class ServingEngine:
             valid[i] = True
             self._slot_req[slot] = req
             self._temps[slot] = req.temperature
+            self._topk[slot] = req.top_k
+            self._topp[slot] = req.top_p
             self.results[req.request_id] = RequestResult(
                 req.request_id, list(req.prompt))
-        self._temps_dev = jnp.asarray(self._temps)
+        self._samp_dev = self._sampling_device()
         self.state = admit_many(
             self.params, self.cfg, self.state,
             jnp.asarray(slot_idx), jnp.asarray(prompts),
@@ -636,7 +673,7 @@ class ServingEngine:
         self._key, sub = jax.random.split(self._key)
         self.state, toks = serve_steps(
             self.params, self.cfg, self.state, self.steps_per_sync,
-            self._temps_dev, sub, self._allowed, self.mesh,
+            self._samp_dev, sub, self._allowed, self.mesh,
         )
         return toks, list(self._slot_req)
 

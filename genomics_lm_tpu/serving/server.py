@@ -148,6 +148,8 @@ class InferenceServer:
                     int(p.get("max_new_tokens", 64)),
                     temperature=float(p.get("temperature", 0.0)),
                     stop_ids=tuple(int(t) for t in p.get("stop_ids", ())),
+                    top_k=int(p.get("top_k", 0)),
+                    top_p=float(p.get("top_p", 0.0)),
                 )
             except (ValueError, KeyError, TypeError) as e:
                 sub.reply.put(("error", str(e)))

@@ -440,3 +440,27 @@ class TestBenchmarkCLIs:
         assert proc.returncode == 0, proc.stderr[-2000:]
         report = json.loads(proc.stdout.strip().splitlines()[-1])
         assert report["metric"] == "decode_codon_tokens_per_sec_per_chip"
+
+
+class TestTopKTopP:
+    def test_filters_reduce_to_greedy_and_plain_sampling(self):
+        """top_k=1 and tiny top_p must equal greedy; disabled filters must
+        reproduce plain-temperature sampling token for token."""
+        params, cfg = make_model()
+        rng = np.random.default_rng(5)
+        prompt = [1] + [int(t) for t in rng.integers(4, 68, 8)]
+
+        def drain(**kw):
+            eng = ServingEngine(params, cfg, slots=1, steps_per_sync=4, seed=3)
+            rid = eng.submit(prompt, 12, **kw)
+            return eng.run()[rid].tokens
+
+        greedy = drain(temperature=0.0)
+        assert drain(temperature=0.9, top_k=1) == greedy
+        assert drain(temperature=0.9, top_p=1e-6) == greedy
+        plain = drain(temperature=0.9)
+        assert drain(temperature=0.9, top_k=cfg.vocab_size) == plain
+        assert drain(temperature=0.9, top_p=1.0) == plain
+        # a moderate top_k changes the draw but still decodes validly
+        out = drain(temperature=0.9, top_k=5)
+        assert len(out) == 12
