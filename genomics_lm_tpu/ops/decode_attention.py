@@ -258,11 +258,187 @@ def decode_attention_xla(
     return out.reshape(B, Hq, D).astype(jnp.float32)
 
 
+def pack_query_chunk(q: jnp.ndarray, kv_heads: int) -> jnp.ndarray:
+    """(B, Hq, T, D) chunk query → block-diagonal routing (B, P, T·Hq).
+
+    The multi-query generalization of ``pack_query``: column t·Hq + h
+    (t-major) carries q[b, h, t] in rows [(h//G)·D, (h//G+1)·D). One MXU
+    matmul against the packed (S, P) cache then yields every (token,
+    head) pair's scores at once."""
+    B, Hq, T, D = q.shape
+    G = Hq // kv_heads
+    h = jnp.arange(Hq)[:, None, None]
+    d = jnp.arange(D)[None, :, None]
+    p = jnp.arange(kv_heads * D)[None, None, :]
+    route = ((h // G) * D + d == p).astype(q.dtype)  # (Hq, D, P)
+    qmat = jnp.einsum("bhtd,hdp->bpth", q, route)    # (B, P, T, Hq)
+    return qmat.reshape(B, kv_heads * D, T * Hq)
+
+
+def decode_attention_chunk(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    mask_add: jnp.ndarray,
+    layer: int,
+    k_scale: jnp.ndarray | None = None,
+    v_scale: jnp.ndarray | None = None,
+    *,
+    kv_heads: int | None = None,
+    block_b: int | None = None,
+    interpret: bool | None = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Fused multi-query decode attention (the speculative verify chunk).
+
+    Same kernel structure as ``decode_attention`` with T·Hq routed query
+    columns instead of Hq: the cache is still read from HBM exactly once,
+    so verifying a K-token draft chunk costs nearly the same DMA as one
+    decode step — the whole point of speculative decoding on a
+    memory-bound decode. ``q`` is (B, Hq, T, D); ``mask_add`` is
+    (B, T, S) per-query additive rows. Returns (B, Hq, T, D) float32.
+    """
+    B, Hq, T, D = q.shape
+    S = k_cache.shape[2]
+    quant = k_scale is not None
+    if kv_heads is None:
+        kv_heads = k_scale.shape[2] if quant else Hq
+    Hkv = kv_heads
+    if Hq % Hkv != 0:
+        raise ValueError("n_head must be divisible by n_kv_head for GQA")
+    G = Hq // Hkv
+    P = Hkv * D
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    bb = _pick_block_b(B) if block_b is None else int(block_b)
+    inv_sqrt_d = 1.0 / float(D) ** 0.5
+    layer = int(layer)
+
+    qmat = pack_query_chunk(q.astype(compute_dtype), Hkv)  # (B, P, T·Hq)
+
+    def kernel(*refs):
+        if quant:
+            q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, mask_ref, o_ref = refs
+        qh = q_ref[...].astype(compute_dtype)      # (bb, P, T·Hq)
+        kh = k_ref[0].astype(compute_dtype)        # (bb, S, P)
+        vh = v_ref[0].astype(compute_dtype)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv_sqrt_d                             # (bb, T·Hq, S)
+        if quant:
+            ks = ks_ref[0]                         # (bb, Hkv, S)
+            if G > 1:
+                ks = jnp.repeat(ks, G, axis=1)     # (bb, Hq, S) h-major
+            ks = jnp.tile(ks, (1, T, 1))           # (bb, T·Hq, S) t-major
+            s = s * ks
+        m = jnp.repeat(mask_ref[...], Hq, axis=1)  # (bb, T·Hq, S) t-major
+        s = s + m
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if quant:
+            vs = vs_ref[0]
+            if G > 1:
+                vs = jnp.repeat(vs, G, axis=1)
+            vs = jnp.tile(vs, (1, T, 1))
+            p = p * vs
+        o_ref[...] = jax.lax.dot_general(
+            p.astype(compute_dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # (bb, T·Hq, P)
+
+    cache_spec = pl.BlockSpec((1, bb, S, P), lambda i: (layer, i, 0, 0))
+    in_specs = [
+        pl.BlockSpec((bb, P, T * Hq), lambda i: (i, 0, 0)),
+        cache_spec,
+        cache_spec,
+    ]
+    args = [qmat, k_cache, v_cache]
+    if quant:
+        scale_spec = pl.BlockSpec((1, bb, Hkv, S), lambda i: (layer, i, 0, 0))
+        in_specs += [scale_spec, scale_spec]
+        args += [k_scale, v_scale]
+    in_specs.append(pl.BlockSpec((bb, T, S), lambda i: (i, 0, 0)))
+    args.append(mask_add.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, T * Hq, P), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T * Hq, P), jnp.float32),
+        interpret=bool(interpret),
+    )(*args)
+    # (B, T·Hq, P) t-major rows → per-head own band → (B, Hq, T, D)
+    out4 = out.reshape(B, T, Hq, Hkv, D)
+    h = jnp.arange(Hq)
+    picked = out4[:, :, h, h // G, :]              # (B, T, Hq, D)
+    return picked.transpose(0, 2, 1, 3)
+
+
+def decode_attention_chunk_xla(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    mask_add: jnp.ndarray,
+    layer: int,
+    k_scale: jnp.ndarray | None = None,
+    v_scale: jnp.ndarray | None = None,
+    compute_dtype=jnp.float32,
+    *,
+    kv_heads: int | None = None,
+) -> jnp.ndarray:
+    """Multi-query decode attention: T chunk queries against the cache.
+
+    The speculative-verify generalization of ``decode_attention_xla``:
+    q is (B, Hq, T, D) — the T draft tokens of one verification chunk —
+    and ``mask_add`` is (B, T, S) (per-query validity: cached positions
+    plus the intra-chunk causal prefix, built by the caller). The chunk's
+    own K/V rows must already be written into the cache. T is small
+    (the draft length + 1), so the einsum chain is cheap next to the
+    cache read it shares with the single-token path.
+
+    Returns (B, Hq, T, D) float32.
+    """
+    B, Hq, T, D = q.shape
+    S = k_cache.shape[2]
+    quant = k_scale is not None
+    if kv_heads is None:
+        kv_heads = k_scale.shape[2] if quant else Hq
+    Hkv = kv_heads
+    G = Hq // Hkv
+    qg = q.astype(compute_dtype).reshape(B, Hkv, G, T, D)
+    k_all = k_cache[layer].astype(compute_dtype).reshape(B, S, Hkv, D)
+    v_all = v_cache[layer].astype(compute_dtype).reshape(B, S, Hkv, D)
+    scores = jnp.einsum(
+        "bhgtd,bshd->bhgts", qg, k_all, preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(jnp.float32(D))
+    if quant:
+        scores = scores * k_scale[layer][:, :, None, None, :]
+    scores = scores + mask_add.astype(jnp.float32)[:, None, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    if quant:
+        probs = probs * v_scale[layer][:, :, None, None, :]
+    out = jnp.einsum(
+        "bhgts,bshd->bhgtd", probs.astype(compute_dtype), v_all,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Hq, T, D).astype(jnp.float32)
+
+
 __all__ = [
     "KERNEL_MAX_BATCH",
     "NEG_INF",
     "decode_attention",
+    "decode_attention_chunk",
+    "decode_attention_chunk_xla",
     "decode_attention_xla",
     "extract_heads",
     "pack_query",
+    "pack_query_chunk",
 ]

@@ -15,6 +15,12 @@ from genomics_lm_tpu.serving.engine import (
     init_serving_state,
     serve_steps,
 )
+from genomics_lm_tpu.serving.speculative import (
+    fit_bigram_table,
+    generate_tokens_speculative,
+    serve_steps_speculative,
+    speculative_generate,
+)
 
 
 def __getattr__(name):
@@ -31,6 +37,10 @@ __all__ = [
     "Request",
     "RequestResult",
     "ServingEngine",
+    "fit_bigram_table",
+    "generate_tokens_speculative",
     "init_serving_state",
     "serve_steps",
+    "serve_steps_speculative",
+    "speculative_generate",
 ]

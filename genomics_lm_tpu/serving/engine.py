@@ -106,6 +106,10 @@ def init_serving_state(
         "lengths": jnp.zeros((slots,), jnp.int32),
         "seg_count": jnp.zeros((slots,), jnp.int32),
         "last_logits": jnp.full((slots, cfg.vocab_size), NEG_INF, jnp.float32),
+        # True: last_logits are raw model logits (transform at sample time);
+        # False: a speculative round stored an already-transformed
+        # residual/bonus distribution as log-probs (serving/speculative.py)
+        "logits_raw": jnp.ones((slots,), jnp.bool_),
         "active": jnp.zeros((slots,), jnp.bool_),
     }
     if kv_quant:
@@ -194,6 +198,7 @@ def admit_many(params, cfg: CodonGPTConfig, state: dict, slot_idx: jnp.ndarray,
     out["last_logits"] = jnp.where(
         written[:, None], logits.astype(jnp.float32)[lane],
         state["last_logits"])
+    out["logits_raw"] = state["logits_raw"] | written
     out["active"] = state["active"] | written
     return out
 
@@ -457,6 +462,8 @@ class ServingEngine:
         allowed_ids: list[int] | None = None,
         seed: int = 0,
         mesh=None,
+        speculative_k: int = 0,
+        draft_table=None,
     ):
         self.cfg = cfg
         self.slots = int(slots)
@@ -465,6 +472,28 @@ class ServingEngine:
             raise ValueError("max_seq_len exceeds model block_size")
         self.kv_quant = bool(kv_quant)
         self.steps_per_sync = int(steps_per_sync)
+        # speculative decoding (serving/speculative.py): each sync chunk
+        # becomes steps_per_sync draft→verify ROUNDS, each emitting
+        # 1..K+1 tokens per slot; the cache takes K+1 slots of headroom
+        # for the optimistic chunk writes
+        self._spec_k = int(speculative_k)
+        if self._spec_k:
+            if draft_table is None:
+                raise ValueError(
+                    "speculative_k > 0 requires a draft_table "
+                    "(serving.speculative.fit_bigram_table)")
+            table = np.asarray(draft_table, np.float32)
+            if table.shape != (cfg.vocab_size, cfg.vocab_size):
+                raise ValueError(
+                    f"draft_table shape {table.shape} != "
+                    f"({cfg.vocab_size}, {cfg.vocab_size})")
+            if allowed_ids is not None:
+                from genomics_lm_tpu.serving.speculative import restrict_table
+
+                allowed = np.zeros((cfg.vocab_size,), bool)
+                allowed[np.asarray(allowed_ids, int)] = True
+                table = restrict_table(table, allowed)
+            self._table = jnp.asarray(table)
         tp = 1
         if mesh is not None:
             from genomics_lm_tpu.parallel.mesh import MODEL_AXIS
@@ -487,7 +516,16 @@ class ServingEngine:
                     f"divide over model={tp}")
             params = jax.device_put(params, tp_param_sharding(params, mesh))
         self.params = params
-        self.state = init_serving_state(cfg, self.slots, self.S, kv_quant)
+        cache_cap = self.S
+        if self._spec_k:
+            # K+1 slots of verify headroom, rounded to the cache bucket —
+            # unaligned cache sublane dims put the fused kernels on
+            # Mosaic's padded slow path (measured 3.5× per round)
+            from genomics_lm_tpu.generation.decode import CACHE_BUCKET
+
+            raw = self.S + self._spec_k + 1
+            cache_cap = ((raw + CACHE_BUCKET - 1) // CACHE_BUCKET) * CACHE_BUCKET
+        self.state = init_serving_state(cfg, self.slots, cache_cap, kv_quant)
         if tp > 1:
             self.state = jax.device_put(
                 self.state, serving_state_sharding(self.state, mesh))
@@ -582,6 +620,7 @@ class ServingEngine:
             "kv_quant": self.kv_quant,
             "steps_per_sync": self.steps_per_sync,
             "tensor_parallel": self.mesh is not None,
+            "speculative_k": self._spec_k,
         }
 
     # -- scheduling --------------------------------------------------------
@@ -671,18 +710,49 @@ class ServingEngine:
         if self.n_active == 0:
             return None
         self._key, sub = jax.random.split(self._key)
+        if self._spec_k:
+            from genomics_lm_tpu.serving.speculative import (
+                serve_steps_speculative)
+
+            # static fast path when no active request uses top-k/top-p
+            use_filters = bool(self._topk.any() or
+                               ((self._topp > 0) & (self._topp < 1)).any())
+            self.state, toks, counts = serve_steps_speculative(
+                self.params, self.cfg, self.state, self.steps_per_sync,
+                self._samp_dev, self._table, sub, self._allowed,
+                self._spec_k, self.mesh, use_filters,
+            )
+            return (toks, counts), list(self._slot_req)
         self.state, toks = serve_steps(
             self.params, self.cfg, self.state, self.steps_per_sync,
             self._samp_dev, sub, self._allowed, self.mesh,
         )
         return toks, list(self._slot_req)
 
+    def _chunk_token_rows(self, payload) -> list:
+        """Materialize a dispatched chunk into per-slot token sequences.
+
+        Plain chunks are a dense (slots, steps) array; speculative chunks
+        are (tokens (slots, rounds, K+1), counts (slots, rounds)) with
+        only the first ``counts`` tokens of each round real."""
+        if self._spec_k:
+            toks, counts = payload
+            toks = np.asarray(toks)
+            counts = np.asarray(counts)
+            return [
+                [int(t)
+                 for r in range(toks.shape[1])
+                 for t in toks[s, r, : counts[s, r]]]
+                for s in range(self.slots)
+            ]
+        return np.asarray(payload)
+
     def step(self) -> int:
         """Admit + decode one chunk + retire. Returns #tokens sampled."""
         chunk = self._dispatch_chunk()
         if chunk is None:
             return 0
-        self._retire(np.asarray(chunk[0]), chunk[1])
+        self._retire(self._chunk_token_rows(chunk[0]), chunk[1])
         return int(self.n_active and self.steps_per_sync * self.slots)
 
     def run(self, max_chunks: int = 10_000, *,
@@ -721,7 +791,7 @@ class ServingEngine:
                     return
                 chunk = self._dispatch_chunk()
                 if chunk is not None:
-                    yield from self._retire(np.asarray(chunk[0]), chunk[1])
+                    yield from self._retire(self._chunk_token_rows(chunk[0]), chunk[1])
             raise RuntimeError("serving run did not drain within max_chunks")
 
         inflight = None  # (tokens, slot→request snapshot at dispatch)
@@ -736,14 +806,14 @@ class ServingEngine:
                 prev, inflight = inflight, self._dispatch_chunk()
                 if prev is not None:
                     # fetch overlaps with the chunk dispatched above
-                    yield from self._retire(np.asarray(prev[0]), prev[1])
+                    yield from self._retire(self._chunk_token_rows(prev[0]), prev[1])
         finally:
             # an abandoned generator (consumer break / close) must not drop
             # the dispatched-but-unretired chunk: the device state already
             # advanced, so skipping retirement would leave a silent gap in
             # every active request's tokens if draining resumes later
             if inflight is not None:
-                self._retire(np.asarray(inflight[0]), inflight[1])
+                self._retire(self._chunk_token_rows(inflight[0]), inflight[1])
         raise RuntimeError("serving run did not drain within max_chunks")
 
 

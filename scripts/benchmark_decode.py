@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     ap.add_argument("--attention_impl", choices=["xla", "flash"], default=None,
                     help="decode attention path: fused Pallas kernel "
                          "('flash', TPU default) or einsum ('xla')")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="speculative decoding with K bigram-drafted tokens "
+                         "per verify round (serving/speculative.py); the "
+                         "draft table is fitted to a stream sampled from "
+                         "the model itself")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -79,7 +84,32 @@ def main(argv=None) -> int:
             key, logits.astype(jnp.float32) / args.temperature, axis=-1
         ).astype(jnp.int32)
 
-    if args.mode == "scan":
+    spec_stats: dict = {}
+    if args.speculative:
+        from genomics_lm_tpu.generation.decode import generate_tokens
+        from genomics_lm_tpu.serving.speculative import (
+            fit_bigram_table,
+            speculative_generate,
+        )
+
+        # draft table fitted to a stream sampled from the model — the
+        # deployment analog is fitting on the training corpus' bigram
+        # counts (the reference's Markov-baseline statistics); random
+        # bench weights have no corpus, so self-sampled tokens stand in
+        stream = np.asarray(generate_tokens(
+            params, cfg, prompt[: min(8, B)],
+            min(256, args.block_size - P), jax.random.PRNGKey(42),
+            1.0, args.kv_quant))
+        table = fit_bigram_table([row for row in stream], cfg.vocab_size)
+
+        def run_once(key):
+            toks, stats = speculative_generate(
+                params, cfg, prompt, args.decode_tokens, key, table,
+                n_draft=args.speculative, temperature=args.temperature,
+                kv_quant=args.kv_quant)
+            spec_stats.update(stats)
+            return jnp.asarray(toks)
+    elif args.mode == "scan":
         from genomics_lm_tpu.generation.decode import generate_tokens
 
         def run_once(key):
@@ -123,6 +153,11 @@ def main(argv=None) -> int:
         "kv_quant": bool(args.kv_quant),
         "attention_impl": cfg.attention_impl,
     }
+    if args.speculative:
+        report["speculative_k"] = args.speculative
+        report["accept_rate"] = round(spec_stats.get("accept_rate", 0.0), 4)
+        report["tokens_per_round"] = round(
+            spec_stats.get("tokens_per_round", 0.0), 3)
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
         Path(args.out).write_text(json.dumps(report, indent=2) + "\n")

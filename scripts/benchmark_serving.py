@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     ap.add_argument("--arrival_rate", type=float, default=0.0,
                     help="open-loop Poisson arrival rate (req/s); > 0 switches "
                          "to the latency protocol (TTFT/ITL percentiles)")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="speculative decoding with K bigram-drafted tokens "
+                         "per verify round (serving/speculative.py); the "
+                         "draft table is fitted to a model-sampled stream")
     ap.add_argument("--sync", action="store_true",
                     help="synchronous drain (no chunk pipelining)")
     ap.add_argument("--seed", type=int, default=0)
@@ -76,6 +80,22 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(args.seed)
 
+    spec_kw = {}
+    if args.speculative:
+        import jax.numpy as jnp
+
+        from genomics_lm_tpu.generation.decode import generate_tokens
+        from genomics_lm_tpu.serving.speculative import fit_bigram_table
+
+        seed_prompt = jnp.asarray(rng.integers(4, 68, (8, 16)), jnp.int32)
+        stream = np.asarray(generate_tokens(
+            params, cfg, seed_prompt, min(256, args.block_size - 16),
+            jax.random.PRNGKey(42), 1.0, args.kv_quant))
+        spec_kw = {
+            "speculative_k": args.speculative,
+            "draft_table": fit_bigram_table([r for r in stream], cfg.vocab_size),
+        }
+
     def build_queue(n):
         reqs = []
         for _ in range(n):
@@ -90,7 +110,7 @@ def main(argv=None) -> int:
         eng = ServingEngine(
             params, cfg, slots=args.slots, max_seq_len=args.max_seq_len,
             kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
-            seed=seed,
+            seed=seed, **spec_kw,
         )
         for prompt, budget in reqs:
             eng.submit(prompt, budget, temperature=args.temperature)
@@ -107,7 +127,7 @@ def main(argv=None) -> int:
         eng = ServingEngine(
             params, cfg, slots=args.slots, max_seq_len=args.max_seq_len,
             kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
-            seed=seed,
+            seed=seed, **spec_kw,
         )
         arr_rng = np.random.default_rng(seed + 7)
         gaps = arr_rng.exponential(1.0 / rate, len(reqs))
@@ -173,6 +193,7 @@ def main(argv=None) -> int:
             "steps_per_sync": args.steps_per_sync,
             "kv_quant": bool(args.kv_quant),
             "int8_weights": bool(args.int8_weights),
+            "speculative_k": args.speculative,
             "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd}",
         }
         if args.out:
@@ -198,6 +219,7 @@ def main(argv=None) -> int:
         "max_seq_len": args.max_seq_len,
         "kv_quant": bool(args.kv_quant),
         "int8_weights": bool(args.int8_weights),
+        "speculative_k": args.speculative,
         "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd}",
     }
     if args.out:
