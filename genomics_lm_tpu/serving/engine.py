@@ -722,7 +722,12 @@ class ServingEngine:
                 self._samp_dev, self._table, sub, self._allowed,
                 self._spec_k, self.mesh, use_filters,
             )
-            return (toks, counts), list(self._slot_req)
+            # pack counts + tokens into ONE device array: the host-side
+            # retire then fetches a single buffer — on relayed runtimes
+            # each fetch is a round trip, and two per chunk measurably
+            # drags the drain
+            packed = jnp.concatenate([counts[:, :, None], toks], axis=2)
+            return packed, list(self._slot_req)
         self.state, toks = serve_steps(
             self.params, self.cfg, self.state, self.steps_per_sync,
             self._samp_dev, sub, self._allowed, self.mesh,
@@ -733,12 +738,13 @@ class ServingEngine:
         """Materialize a dispatched chunk into per-slot token sequences.
 
         Plain chunks are a dense (slots, steps) array; speculative chunks
-        are (tokens (slots, rounds, K+1), counts (slots, rounds)) with
-        only the first ``counts`` tokens of each round real."""
+        are packed (slots, rounds, 1 + K+1) arrays — per round, column 0
+        is the emitted count and only the first ``count`` of the
+        remaining columns are real tokens."""
         if self._spec_k:
-            toks, counts = payload
-            toks = np.asarray(toks)
-            counts = np.asarray(counts)
+            packed = np.asarray(payload)
+            counts = packed[:, :, 0]
+            toks = packed[:, :, 1:]
             return [
                 [int(t)
                  for r in range(toks.shape[1])
