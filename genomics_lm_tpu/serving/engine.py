@@ -493,6 +493,13 @@ class ServingEngine:
                 allowed = np.zeros((cfg.vocab_size,), bool)
                 allowed[np.asarray(allowed_ids, int)] = True
                 table = restrict_table(table, allowed)
+            else:
+                # strictly positive rows: drafts must actually be samplable
+                # from every conditional (a zero row would make the draft
+                # categorical degenerate); fit_bigram_table smooths already,
+                # this guards arbitrary user tables
+                table = np.maximum(table, 1e-8)
+                table = table / table.sum(axis=1, keepdims=True)
             self._table = jnp.asarray(table)
         tp = 1
         if mesh is not None:

@@ -318,6 +318,30 @@ class TestEngineSpeculative:
         assert len(res.tokens) == 15
         assert all(t in set(allowed) for t in res.tokens)
 
+    @pytest.mark.parametrize("kv_quant", [False, True])
+    def test_tensor_parallel_matches_single_device(self, kv_quant):
+        """Speculative serving over a ('model',) mesh (GSPMD-partitioned
+        einsum verify) must emit exactly the meshless engine's greedy
+        tokens."""
+        from genomics_lm_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+        params, cfg = make_model()
+        rng = np.random.default_rng(12)
+        reqs = [([1] + [int(t) for t in rng.integers(4, 68, n)], b)
+                for n, b in [(8, 10), (14, 6), (5, 12)]]
+        table = fit_bigram_table(rng.integers(0, 68, 4000), 68)
+
+        def drain(mesh):
+            eng = ServingEngine(params, cfg, slots=2, steps_per_sync=3,
+                                kv_quant=kv_quant, mesh=mesh,
+                                speculative_k=3, draft_table=table)
+            rids = [eng.submit(p, b) for p, b in reqs]
+            res = eng.run()
+            return [res[r].tokens for r in rids]
+
+        mesh = make_mesh(2, axes={MODEL_AXIS: 2})
+        assert drain(mesh) == drain(None)
+
     def test_requires_draft_table(self):
         params, cfg = make_model()
         with pytest.raises(ValueError, match="draft_table"):
