@@ -360,6 +360,48 @@ def _ragged_decode(params, cfg: CodonGPTConfig, state: dict, token: jnp.ndarray,
     return logits, out
 
 
+def filtered_sampling_logits(logits, sampling, allowed_mask,
+                             use_filters: bool = True):
+    """Allowed-mask → temperature → top-k → top-p sampling filter chain.
+
+    The ONE implementation shared by the plain sampler (``serve_steps``)
+    and the speculative target transform
+    (``serving.speculative._slot_probs``) — the speculative path's
+    distribution-equality contract requires the two to apply identical
+    filters, so the invariant is structural rather than comment-enforced.
+    Returns (greedy_token (B,) int32, filtered temperature-scaled logits
+    (B, V)). ``use_filters`` False (static) skips the top-k/top-p sort
+    chain for callers that know every slot has both disabled."""
+    neg = jnp.asarray(NEG_INF, jnp.float32)
+    temps = sampling["temps"]
+    top_k = sampling["top_k"]
+    top_p = sampling["top_p"]
+    V = logits.shape[-1]
+    if allowed_mask is not None:
+        logits = jnp.where(allowed_mask[None, :], logits, neg)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    if not use_filters:
+        return greedy, scaled
+    # top-k: drop everything below the k-th largest (k = 0 disables)
+    desc = -jnp.sort(-scaled, axis=-1)
+    kth = jnp.take_along_axis(
+        desc, jnp.clip(top_k - 1, 0, V - 1)[:, None], axis=-1)
+    scaled = jnp.where((top_k > 0)[:, None] & (scaled < kth), neg, scaled)
+    # top-p (nucleus): keep the shortest descending-probability prefix
+    # whose cumulative mass reaches p (the argmax always survives)
+    desc_k = -jnp.sort(-scaled, axis=-1)
+    probs = jax.nn.softmax(desc_k, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    p_eff = jnp.where((top_p > 0) & (top_p < 1.0), top_p, 1.0)
+    n_keep = jnp.maximum(
+        jnp.sum((csum - probs) < p_eff[:, None], axis=-1), 1)
+    thr = jnp.take_along_axis(desc_k, (n_keep - 1)[:, None], axis=-1)
+    nucleus_on = ((top_p > 0) & (top_p < 1.0))[:, None]
+    scaled = jnp.where(nucleus_on & (scaled < thr), neg, scaled)
+    return greedy, scaled
+
+
 @functools.partial(jax.jit, static_argnums=(1, 3, 7), donate_argnums=(2,))
 def serve_steps(
     params,
@@ -384,34 +426,11 @@ def serve_steps(
     (B, n_steps) sampled tokens); tokens of inactive slots are 0. One
     device dispatch per chunk — the host syncs only at chunk boundaries
     to admit/retire."""
-    neg = jnp.asarray(NEG_INF, jnp.float32)
     temps = sampling["temps"]
-    top_k = sampling["top_k"]
-    top_p = sampling["top_p"]
-    V = int(state["last_logits"].shape[-1])
 
     def body(state, key):
-        logits = state["last_logits"]
-        if allowed_mask is not None:
-            logits = jnp.where(allowed_mask[None, :], logits, neg)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-        # top-k: drop everything below the k-th largest (k = 0 disables)
-        desc = -jnp.sort(-scaled, axis=-1)
-        kth = jnp.take_along_axis(
-            desc, jnp.clip(top_k - 1, 0, V - 1)[:, None], axis=-1)
-        scaled = jnp.where((top_k > 0)[:, None] & (scaled < kth), neg, scaled)
-        # top-p (nucleus): keep the shortest descending-probability prefix
-        # whose cumulative mass reaches p (the argmax always survives)
-        desc_k = -jnp.sort(-scaled, axis=-1)
-        probs = jax.nn.softmax(desc_k, axis=-1)
-        csum = jnp.cumsum(probs, axis=-1)
-        p_eff = jnp.where((top_p > 0) & (top_p < 1.0), top_p, 1.0)
-        n_keep = jnp.maximum(
-            jnp.sum((csum - probs) < p_eff[:, None], axis=-1), 1)
-        thr = jnp.take_along_axis(desc_k, (n_keep - 1)[:, None], axis=-1)
-        nucleus_on = ((top_p > 0) & (top_p < 1.0))[:, None]
-        scaled = jnp.where(nucleus_on & (scaled < thr), neg, scaled)
+        greedy, scaled = filtered_sampling_logits(
+            state["last_logits"], sampling, allowed_mask)
         sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
         token = jnp.where(temps <= 0, greedy, sampled)
         token = jnp.where(state["active"], token, 0)
@@ -721,9 +740,14 @@ class ServingEngine:
             from genomics_lm_tpu.serving.speculative import (
                 serve_steps_speculative)
 
-            # static fast path when no active request uses top-k/top-p
-            use_filters = bool(self._topk.any() or
-                               ((self._topp > 0) & (self._topp < 1)).any())
+            # static fast path when no ACTIVE request uses top-k/top-p
+            # (slot params persist after retirement — mask to live slots,
+            # else one finished top-k request disables the fast path until
+            # its slot happens to be reused)
+            live = np.array([r is not None for r in self._slot_req])
+            use_filters = bool(
+                (self._topk[live] > 0).any()
+                or ((self._topp[live] > 0) & (self._topp[live] < 1)).any())
             self.state, toks, counts = serve_steps_speculative(
                 self.params, self.cfg, self.state, self.steps_per_sync,
                 self._samp_dev, self._table, sub, self._allowed,
@@ -761,11 +785,16 @@ class ServingEngine:
         return np.asarray(payload)
 
     def step(self) -> int:
-        """Admit + decode one chunk + retire. Returns #tokens sampled."""
+        """Admit + decode one chunk + retire. Returns #tokens sampled
+        (speculative mode emits a variable count, so it is summed from
+        the chunk's actual per-round counts)."""
         chunk = self._dispatch_chunk()
         if chunk is None:
             return 0
-        self._retire(self._chunk_token_rows(chunk[0]), chunk[1])
+        rows = self._chunk_token_rows(chunk[0])
+        self._retire(rows, chunk[1])
+        if self._spec_k:
+            return sum(len(r) for r in rows)
         return int(self.n_active and self.steps_per_sync * self.slots)
 
     def run(self, max_chunks: int = 10_000, *,

@@ -81,7 +81,13 @@ def fit_bigram_table(stream, vocab_size: int, alpha: float = 0.5) -> np.ndarray:
     exactness, only overlap with the target's conditionals; reference
     Markov-baseline counting semantics (``eval_ppl_baselines.py``)."""
     counts = np.full((vocab_size, vocab_size), float(alpha), np.float64)
-    seqs = stream if isinstance(stream, (list, tuple)) else [stream]
+    if isinstance(stream, (list, tuple)):
+        seqs = stream
+    else:
+        arr = np.asarray(stream)
+        # a 2-D (N, T) window array is N sequences — raveling it would
+        # invent a fake last-token→first-token transition per row
+        seqs = list(arr) if arr.ndim == 2 else [arr]
     for s in seqs:
         s = np.asarray(s, np.int64).ravel()
         if s.size >= 2:
@@ -106,38 +112,22 @@ def _slot_probs(logits: jnp.ndarray, sampling: dict,
                 use_filters: bool = True) -> jnp.ndarray:
     """Per-slot transformed next-token distribution, as probabilities.
 
-    Replicates ``serve_steps``'s filtering order exactly (allowed mask →
-    temperature → top-k → top-p); greedy slots (temperature ≤ 0) become
-    an exact one-hot of the argmax so greedy acceptance is deterministic.
-    logits: (B, V) raw f32 rows; returns (B, V) f32 probabilities.
-    ``use_filters`` False (static) skips the top-k/top-p sort chain —
-    callers pass it when every slot has both disabled, saving ~4 sorts
-    per verified token."""
-    neg = jnp.asarray(NEG_INF, jnp.float32)
+    Shares ``serve_steps``'s filter chain structurally
+    (``engine.filtered_sampling_logits`` — allowed mask → temperature →
+    top-k → top-p), so the speculative path samples from exactly the
+    distribution the plain sampler draws from; greedy slots
+    (temperature ≤ 0) become an exact one-hot of the argmax so greedy
+    acceptance is deterministic. logits: (B, V) raw f32 rows; returns
+    (B, V) f32 probabilities. ``use_filters`` False (static) skips the
+    top-k/top-p sort chain — callers pass it when every slot has both
+    disabled, saving ~4 sorts per verified token."""
+    from genomics_lm_tpu.serving.engine import filtered_sampling_logits
+
     temps = sampling["temps"]
-    top_k = sampling["top_k"]
-    top_p = sampling["top_p"]
     V = logits.shape[-1]
-    if allowed_mask is not None:
-        logits = jnp.where(allowed_mask[None, :], logits, neg)
-    greedy = jax.nn.one_hot(jnp.argmax(logits, axis=-1), V, dtype=jnp.float32)
-    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-    if not use_filters:
-        probs = jax.nn.softmax(scaled, axis=-1)
-        return jnp.where((temps <= 0)[:, None], greedy, probs)
-    desc = -jnp.sort(-scaled, axis=-1)
-    kth = jnp.take_along_axis(
-        desc, jnp.clip(top_k - 1, 0, V - 1)[:, None], axis=-1)
-    scaled = jnp.where((top_k > 0)[:, None] & (scaled < kth), neg, scaled)
-    desc_k = -jnp.sort(-scaled, axis=-1)
-    probs_sorted = jax.nn.softmax(desc_k, axis=-1)
-    csum = jnp.cumsum(probs_sorted, axis=-1)
-    p_eff = jnp.where((top_p > 0) & (top_p < 1.0), top_p, 1.0)
-    n_keep = jnp.maximum(
-        jnp.sum((csum - probs_sorted) < p_eff[:, None], axis=-1), 1)
-    thr = jnp.take_along_axis(desc_k, (n_keep - 1)[:, None], axis=-1)
-    nucleus_on = ((top_p > 0) & (top_p < 1.0))[:, None]
-    scaled = jnp.where(nucleus_on & (scaled < thr), neg, scaled)
+    greedy_tok, scaled = filtered_sampling_logits(
+        logits, sampling, allowed_mask, use_filters)
+    greedy = jax.nn.one_hot(greedy_tok, V, dtype=jnp.float32)
     probs = jax.nn.softmax(scaled, axis=-1)
     return jnp.where((temps <= 0)[:, None], greedy, probs)
 

@@ -85,6 +85,9 @@ def main(argv=None) -> int:
         ).astype(jnp.int32)
 
     spec_stats: dict = {}
+    if args.speculative and args.mode != "scan":
+        raise SystemExit("--speculative implies its own whole-program path; "
+                         "it cannot combine with --mode stepwise")
     if args.speculative:
         from genomics_lm_tpu.generation.decode import generate_tokens
         from genomics_lm_tpu.serving.speculative import (
@@ -147,7 +150,7 @@ def main(argv=None) -> int:
         "ms_per_decode_step": round(
             elapsed / (args.decode_tokens * args.measure_rounds) * 1000, 3
         ),
-        "mode": args.mode,
+        "mode": "speculative" if args.speculative else args.mode,
         "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd}",
         "int8_weights": bool(args.int8_weights),
         "kv_quant": bool(args.kv_quant),

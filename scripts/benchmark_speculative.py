@@ -97,10 +97,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from genomics_lm_tpu.generation.decode import generate_tokens
-    from genomics_lm_tpu.serving.speculative import (
-        fit_bigram_table,
-        speculative_generate,
-    )
+    from genomics_lm_tpu.serving.speculative import fit_bigram_table
     from genomics_lm_tpu.tokenizers.codon import write_itos
     from genomics_lm_tpu.training.loop import run_training
 
@@ -134,9 +131,7 @@ def main(argv=None) -> int:
         params, cfg, _, _ = load_codon_model(tmp / "runs" / "spec-bench")
         cfg = cfg.replace(dropout=0.0, fused_qkv=on_tpu)
 
-    table = fit_bigram_table([row for row in X[: args.train_windows]],
-                             cfg.vocab_size)
-    rng = np.random.default_rng(args.seed + 1)
+    table = fit_bigram_table(X[: args.train_windows], cfg.vocab_size)
     # prompts drawn from held-out chain windows (in-domain, like serving
     # a trained model on real sequences)
     prompts = X[args.train_windows:args.train_windows + args.batch_size,
@@ -157,24 +152,32 @@ def main(argv=None) -> int:
     generated = args.batch_size * args.decode_tokens * args.measure_rounds
     plain_tps = generated / plain_sec
 
-    stats = {}
+    # time the jitted whole-generation program directly so the timed loop
+    # stays async like the plain loop (speculative_generate fetches its
+    # stats per call, which would serialize dispatch + D2H per run and
+    # bias the comparison on relayed runtimes)
+    from genomics_lm_tpu.serving.speculative import generate_tokens_speculative
+
+    table_dev = jnp.asarray(table, jnp.float32)
 
     def run_spec(key):
-        toks, st = speculative_generate(
-            params, cfg, prompts, args.decode_tokens, key, table,
-            n_draft=args.n_draft, temperature=args.temperature,
-            kv_quant=args.kv_quant, rounds_per_sync=args.rounds_per_sync)
-        stats.update(st)
-        return jnp.asarray(toks)
+        return generate_tokens_speculative(
+            params, cfg, prompts_j, args.decode_tokens, key, table_dev,
+            args.n_draft, args.temperature, args.kv_quant)
 
     out = run_spec(jax.random.PRNGKey(11))
-    float(jnp.sum(out).astype(jnp.float32))
+    float(jnp.sum(out[0]).astype(jnp.float32))
     t0 = time.perf_counter()
     for i in range(args.measure_rounds):
         out = run_spec(jax.random.PRNGKey(12 + i))
-    float(jnp.sum(out).astype(jnp.float32))
+    float(jnp.sum(out[0]).astype(jnp.float32))
     spec_sec = time.perf_counter() - t0
     spec_tps = generated / spec_sec
+    row_rounds, emitted = int(out[1]), int(out[2])
+    stats = {
+        "accept_rate": (emitted - row_rounds) / max(1, row_rounds * args.n_draft),
+        "tokens_per_round": emitted / max(1, row_rounds),
+    }
 
     serving = {}
     if args.serving_requests > 0:
