@@ -569,6 +569,8 @@ class ServingEngine:
             m = np.zeros((cfg.vocab_size,), bool)
             m[np.asarray(allowed_ids, int)] = True
             self._allowed = jnp.asarray(m)
+        self._spec_rounds = 0   # active (slot, round) pairs consumed
+        self._spec_emitted = 0  # tokens those rounds emitted
         self.pending: list[Request] = []
         self.results: dict[int, RequestResult] = {}
         self._completed = 0  # finished (incl. cancelled); thread-safe to read
@@ -637,7 +639,7 @@ class ServingEngine:
 
     def stats(self) -> dict:
         """Scheduler observability snapshot (host-side, no device sync)."""
-        return {
+        out = {
             "slots": self.slots,
             "active": self.n_active,
             "pending": len(self.pending),
@@ -648,6 +650,13 @@ class ServingEngine:
             "tensor_parallel": self.mesh is not None,
             "speculative_k": self._spec_k,
         }
+        if self._spec_k and self._spec_rounds:
+            out["speculative_accept_rate"] = round(
+                (self._spec_emitted - self._spec_rounds)
+                / (self._spec_rounds * self._spec_k), 4)
+            out["speculative_tokens_per_round"] = round(
+                self._spec_emitted / self._spec_rounds, 3)
+        return out
 
     # -- scheduling --------------------------------------------------------
     def _admit_pending(self) -> None:
@@ -776,6 +785,11 @@ class ServingEngine:
             packed = np.asarray(payload)
             counts = packed[:, :, 0]
             toks = packed[:, :, 1:]
+            # live acceptance telemetry: counts > 0 marks an active
+            # (slot, round) pair; each emitted 1 + m tokens of which m
+            # were accepted drafts
+            self._spec_rounds += int((counts > 0).sum())
+            self._spec_emitted += int(counts.sum())
             return [
                 [int(t)
                  for r in range(toks.shape[1])

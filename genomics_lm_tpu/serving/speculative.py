@@ -71,15 +71,19 @@ from genomics_lm_tpu.ops.decode_attention import (
 )
 
 
-def fit_bigram_table(stream, vocab_size: int, alpha: float = 0.5) -> np.ndarray:
+def fit_bigram_table(stream, vocab_size: int, alpha: float = 0.5,
+                     exclude_ids: tuple = ()) -> np.ndarray:
     """(V, V) draft table: smoothed P(next | prev) from a token stream.
 
     ``stream``: one 1-D int sequence or a list of sequences (e.g. the
     packed training windows, or tokens sampled from the target model).
     Add-``alpha`` smoothing keeps every row strictly positive — the
-    acceptance ratio p/q is then always finite. The draft needs no
-    exactness, only overlap with the target's conditionals; reference
-    Markov-baseline counting semantics (``eval_ppl_baselines.py``)."""
+    acceptance ratio p/q is then always finite. ``exclude_ids`` drops
+    transitions into or out of the named tokens (pass ``(0,)`` when
+    fitting on padded packed windows — pad transitions are artifacts).
+    The draft needs no exactness, only overlap with the target's
+    conditionals; reference Markov-baseline counting semantics
+    (``eval_ppl_baselines.py``)."""
     counts = np.full((vocab_size, vocab_size), float(alpha), np.float64)
     if isinstance(stream, (list, tuple)):
         seqs = stream
@@ -90,8 +94,13 @@ def fit_bigram_table(stream, vocab_size: int, alpha: float = 0.5) -> np.ndarray:
         seqs = list(arr) if arr.ndim == 2 else [arr]
     for s in seqs:
         s = np.asarray(s, np.int64).ravel()
-        if s.size >= 2:
-            np.add.at(counts, (s[:-1], s[1:]), 1.0)
+        if s.size < 2:
+            continue
+        prev, nxt = s[:-1], s[1:]
+        if exclude_ids:
+            keep = ~(np.isin(prev, exclude_ids) | np.isin(nxt, exclude_ids))
+            prev, nxt = prev[keep], nxt[keep]
+        np.add.at(counts, (prev, nxt), 1.0)
     return (counts / counts.sum(axis=1, keepdims=True)).astype(np.float32)
 
 

@@ -38,6 +38,13 @@ def main(argv=None) -> int:
     ap.add_argument("--steps_per_sync", type=int, default=16)
     ap.add_argument("--kv_quant", action="store_true")
     ap.add_argument("--int8_weights", action="store_true")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="exact speculative decoding with K bigram-drafted "
+                         "tokens per verify round; the draft table is fitted "
+                         "to the run's training dataset (or --draft_npz)")
+    ap.add_argument("--draft_npz", default=None,
+                    help="packed NPZ to fit the bigram draft table on "
+                         "(default: the run's train_npz from its config)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -49,10 +56,39 @@ def main(argv=None) -> int:
         from genomics_lm_tpu.ops.quant import quantize_params
 
         params = quantize_params(params)
+    spec_kw = {}
+    if args.speculative:
+        import numpy as np
+        import yaml
+
+        from genomics_lm_tpu.serving import fit_bigram_table
+
+        npz_path = args.draft_npz
+        if npz_path is None:
+            run_cfg = _Path(args.run) / "checkpoints" / "config.yaml"
+            if not run_cfg.exists():
+                raise SystemExit(
+                    "--speculative needs a corpus for the draft table: pass "
+                    "--draft_npz or serve a run whose checkpoints/config.yaml "
+                    "records train_npz")
+            npz_path = yaml.safe_load(run_cfg.read_text()).get("train_npz")
+            if not npz_path or not _Path(str(npz_path).split(",")[0]).exists():
+                raise SystemExit(
+                    f"train_npz from the run config is unavailable "
+                    f"({npz_path!r}); pass --draft_npz")
+            npz_path = str(npz_path).split(",")[0]
+        X = np.load(npz_path)["X"]
+        spec_kw = {
+            "speculative_k": args.speculative,
+            "draft_table": fit_bigram_table(X, cfg.vocab_size,
+                                            exclude_ids=(0,)),
+        }
+        print(f"[serve] speculative K={args.speculative}, draft table "
+              f"fitted on {npz_path}")
     engine = ServingEngine(
         params, cfg, slots=args.slots, max_seq_len=args.max_seq_len,
         kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
-        seed=args.seed,
+        seed=args.seed, **spec_kw,
     )
     server = InferenceServer(engine, host=args.host, port=args.port)
     server.start()

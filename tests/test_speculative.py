@@ -281,7 +281,10 @@ class TestEngineSpeculative:
                 jax.random.PRNGKey(9), 0.0))[0]
             assert results[rid].tokens == [int(t) for t in expect]
             assert results[rid].finish_reason == "length"
-        assert eng.stats()["speculative_k"] == 3
+        stats = eng.stats()
+        assert stats["speculative_k"] == 3
+        assert 0.0 <= stats["speculative_accept_rate"] <= 1.0
+        assert 1.0 <= stats["speculative_tokens_per_round"] <= 4.0
 
     def test_stop_ids_and_budget(self):
         params, cfg = make_model()
