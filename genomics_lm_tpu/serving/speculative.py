@@ -396,6 +396,7 @@ def generate_tokens_speculative(
     n_draft: int,
     temperature: jnp.ndarray | float = 1.0,
     kv_quant: bool = False,
+    allowed_mask: jnp.ndarray | None = None,
 ):
     """Whole-speculative-generation-in-one-program (cf. ``generate_tokens``).
 
@@ -404,6 +405,12 @@ def generate_tokens_speculative(
     generation, so the tunnel/dispatch overhead profile matches the plain
     scan path. Emitted tokens land in a per-row cursor-indexed output
     buffer; finished rows deactivate (their slots stop writing).
+
+    ``allowed_mask``: optional (V,) bool vocabulary restriction — the
+    speculative counterpart of ``generate_masked_tokens`` (e.g. the CDS
+    codon set for the design loop's candidate fan-out). Restrict the
+    draft ``table`` to the same set (``restrict_table``) or drafts
+    outside it are always rejected.
 
     Returns (tokens (B, n_tokens), active_row_rounds, emitted_total) —
     the scalars let callers compute acceptance statistics."""
@@ -454,7 +461,7 @@ def generate_tokens_speculative(
         state = dict(state)
         state["active"] = filled < n_tokens
         state, tokens, counts = _speculative_round(
-            params, cfg, state, sampling, table, sub, K, None,
+            params, cfg, state, sampling, table, sub, K, allowed_mask,
             use_filters=False)
         offs = jnp.arange(K + 1)
         real = offs[None, :] < counts[:, None]

@@ -26,6 +26,7 @@ from genomics_lm_tpu.serving.engine import (
 from genomics_lm_tpu.serving.speculative import (
     _ragged_verify,
     fit_bigram_table,
+    generate_tokens_speculative,
     restrict_table,
     speculative_acceptance,
     speculative_generate,
@@ -226,6 +227,28 @@ class TestSpeculativeGenerate:
         np.testing.assert_array_equal(plain, spec)
         assert stats["tokens_per_round"] >= 1.0
 
+    def test_masked_greedy_matches_generate_masked_tokens(self):
+        """CDS-restricted speculative greedy == generate_masked_tokens
+        greedy (the design-loop candidate fan-out path)."""
+        from genomics_lm_tpu.generation.decode import generate_masked_tokens
+
+        params, cfg = make_model()
+        rng = np.random.default_rng(8)
+        allowed = np.zeros((68,), bool)
+        allowed[4:] = True  # CDS codons only
+        prompts = np.concatenate(
+            [np.ones((3, 1), np.int32),
+             rng.integers(4, 68, (3, 5)).astype(np.int32)], axis=1)
+        plain = np.asarray(generate_masked_tokens(
+            params, cfg, jnp.asarray(prompts), 12, jax.random.PRNGKey(5),
+            0.0, jnp.asarray(allowed)))
+        table = restrict_table(
+            fit_bigram_table(rng.integers(0, 68, 4000), 68), allowed)
+        spec, _, _ = generate_tokens_speculative(
+            params, cfg, jnp.asarray(prompts), 12, jax.random.PRNGKey(6),
+            jnp.asarray(table), 3, 0.0, False, jnp.asarray(allowed))
+        np.testing.assert_array_equal(plain, np.asarray(spec))
+
     def test_distribution_preserved(self):
         """Empirical speculative joint over 2 sampled tokens matches the
         exactly-computed target joint (temperature 0.9)."""
@@ -320,6 +343,28 @@ class TestEngineSpeculative:
         res = eng.run()[rid]
         assert len(res.tokens) == 15
         assert all(t in set(allowed) for t in res.tokens)
+
+    def test_greedy_unaffected_by_sampled_neighbors(self):
+        """A greedy request co-scheduled with temperature-sampled slots in
+        the same speculative chunks must emit exactly its solo greedy
+        stream — per-slot sampling transforms and acceptance must never
+        leak across batch rows."""
+        params, cfg = make_model(use_rope=True)
+        rng = np.random.default_rng(13)
+        table = fit_bigram_table(rng.integers(0, 68, 4000), 68)
+        probe = [1] + [int(t) for t in rng.integers(4, 68, 7)]
+        expect = np.asarray(generate_tokens(
+            params, cfg, jnp.asarray([probe], jnp.int32), 10,
+            jax.random.PRNGKey(9), 0.0))[0]
+
+        eng = ServingEngine(params, cfg, slots=3, steps_per_sync=3,
+                            speculative_k=3, draft_table=table)
+        rid = eng.submit(probe, 10)  # greedy
+        for n in (5, 12):
+            eng.submit([1] + [int(t) for t in rng.integers(4, 68, n)], 9,
+                       temperature=1.1, top_k=8)
+        res = eng.run()
+        assert res[rid].tokens == [int(t) for t in expect]
 
     @pytest.mark.parametrize("kv_quant", [False, True])
     def test_tensor_parallel_matches_single_device(self, kv_quant):
