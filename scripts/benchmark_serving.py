@@ -118,56 +118,17 @@ def main(argv=None) -> int:
         return sum(len(r.tokens) for r in results.values())
 
     def run_latency(reqs, seed, rate):
-        """Open-loop Poisson arrivals at ``rate`` req/s; returns per-request
-        (ttft, itl) seconds plus delivered/elapsed. Time-to-first-token
-        includes queueing, admission prefill, and the first decode chunk;
-        inter-token latency is the mean per-token spacing after the first
-        delta — both at chunk granularity, which is what a streaming
-        client actually observes."""
+        """Open-loop Poisson arrivals (scripts/_shared.poisson_latency_drain)."""
+        from scripts._shared import poisson_latency_drain
+
         eng = ServingEngine(
             params, cfg, slots=args.slots, max_seq_len=args.max_seq_len,
             kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
             seed=seed, **spec_kw,
         )
-        arr_rng = np.random.default_rng(seed + 7)
-        gaps = arr_rng.exponential(1.0 / rate, len(reqs))
-        t0 = time.perf_counter()
-        arrivals = np.cumsum(gaps) - gaps[0]
-        it = iter(zip(reqs, arrivals))
-        nxt = next(it)
-        t_submit, t_first, t_done, n_toks = {}, {}, {}, {}
-
-        def submit_due():
-            nonlocal nxt
-            now = time.perf_counter() - t0
-            while nxt is not None and nxt[1] <= now:
-                (prompt, budget), arrival = nxt
-                rid = eng.submit(prompt, budget, temperature=args.temperature)
-                # open-loop: latency counts from the SCHEDULED arrival, so
-                # the wait between arrival and this (possibly late) submit
-                # is charged to TTFT as queueing delay
-                t_submit[rid] = t0 + arrival
-                nxt = next(it, None)
-
-        delivered = 0
-        while nxt is not None or eng.pending or eng.n_active:
-            submit_due()
-            if not eng.pending and eng.n_active == 0:
-                time.sleep(max(0.0, min(0.005, nxt[1] - (time.perf_counter() - t0))))
-                continue
-            for rid, toks, reason in eng.stream(pipelined=not args.sync):
-                now = time.perf_counter()
-                t_first.setdefault(rid, now)
-                n_toks[rid] = n_toks.get(rid, 0) + len(toks)
-                delivered += len(toks)
-                if reason:
-                    t_done[rid] = now
-                submit_due()
-        elapsed = time.perf_counter() - t0
-        ttft = [t_first[r] - t_submit[r] for r in t_first]
-        itl = [(t_done[r] - t_first[r]) / max(n_toks[r] - 1, 1)
-               for r in t_done if n_toks.get(r, 0) > 1]
-        return ttft, itl, delivered, elapsed
+        return poisson_latency_drain(
+            eng, [(p, b, args.temperature) for p, b in reqs], rate,
+            seed=seed, pipelined=not args.sync)
 
     # compile + warm on a small queue (same shapes: bucketed prompts)
     run_queue(build_queue(min(args.slots, args.requests)), args.seed + 1)

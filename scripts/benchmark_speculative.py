@@ -86,6 +86,10 @@ def main(argv=None) -> int:
     ap.add_argument("--serving_requests", type=int, default=256,
                     help="requests per serving drain (0 skips the serving "
                          "comparison)")
+    ap.add_argument("--arrival_rate", type=float, default=0.0,
+                    help="also run the open-loop Poisson latency protocol "
+                         "(req/s) with and without speculation, reporting "
+                         "TTFT/ITL percentiles for both")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -211,6 +215,39 @@ def main(argv=None) -> int:
         serving["speedup_serving"] = round(
             serving["serving_speculative_tok_per_sec"]
             / serving["serving_plain_tok_per_sec"], 3)
+
+        if args.arrival_rate > 0:
+            from scripts._shared import poisson_latency_drain
+
+            def latency(spec: bool) -> dict:
+                kw = (dict(speculative_k=args.n_draft, draft_table=table)
+                      if spec else {})
+                def mk():
+                    return ServingEngine(
+                        params, cfg, slots=args.batch_size,
+                        max_seq_len=args.prefill_len + args.decode_tokens,
+                        kv_quant=args.kv_quant, steps_per_sync=16, seed=7,
+                        **kw)
+                reqs = [([int(t) for t in hold[i % len(hold)]],
+                         args.decode_tokens, args.temperature)
+                        for i in range(n_req)]
+                # compile + warm
+                warm = mk()
+                for p, b, tt in reqs[: args.batch_size]:
+                    warm.submit(p, b, temperature=tt)
+                warm.run()
+                ttft, itl, _, _ = poisson_latency_drain(
+                    mk(), reqs, args.arrival_rate, seed=args.seed)
+                pct = lambda xs, q: round(
+                    float(np.percentile(xs, q)) * 1e3, 1)
+                return {"ttft_p50_ms": pct(ttft, 50),
+                        "ttft_p99_ms": pct(ttft, 99),
+                        "itl_p50_ms": pct(itl, 50),
+                        "itl_p95_ms": pct(itl, 95)}
+
+            serving["latency_plain"] = latency(False)
+            serving["latency_speculative"] = latency(True)
+            serving["arrival_rate_req_per_sec"] = args.arrival_rate
 
     report = {
         "metric": "speculative_decode_tokens_per_sec_per_chip",

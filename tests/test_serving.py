@@ -428,6 +428,23 @@ class TestBenchmarkCLIs:
         assert report["metric"] == "serving_delivered_tokens_per_sec_per_chip"
         assert report["delivered_tokens"] > 0
 
+    def test_benchmark_serving_latency_protocol(self):
+        import json
+
+        proc = self._run(
+            "benchmark_serving.py", "--n_layer", "1", "--n_head", "2",
+            "--n_embd", "32", "--block_size", "64", "--slots", "2",
+            "--max_seq_len", "48", "--requests", "4",
+            "--prompt_len_min", "4", "--prompt_len_max", "8",
+            "--new_tokens_min", "4", "--new_tokens_max", "6",
+            "--steps_per_sync", "3", "--arrival_rate", "50",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        report = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert report["metric"] == "serving_latency_ms"
+        assert report["ttft_p50_ms"] >= 0
+        assert report["throughput_tok_per_sec"] > 0
+
     def test_benchmark_decode_cli(self):
         import json
 
