@@ -26,6 +26,12 @@ output is identical to ``generation.decode.generate_tokens`` run alone on
 its prompt (scheduling can never change the numbers) — see
 ``tests/test_serving.py``.
 
+With ``speculative_k`` > 0 (and a ``draft_table``) each sync chunk runs
+draft→verify→accept ROUNDS instead of single decode steps, emitting
+1..K+1 tokens per slot per round at an unchanged output distribution —
+see ``serving/speculative.py``; ``stats()`` reports the live acceptance
+rate.
+
 Reference: the interactive single-request path this subsumes is
 ``scripts/query_model.py`` / ``generate.py:13-27`` (no KV cache, no
 batching). The int8 KV cache and the fused decode-attention kernel
