@@ -489,6 +489,7 @@ class ServingEngine:
         mesh=None,
         speculative_k: int = 0,
         draft_table=None,
+        pipeline_depth: int = 1,
     ):
         self.cfg = cfg
         self.slots = int(slots)
@@ -497,6 +498,9 @@ class ServingEngine:
             raise ValueError("max_seq_len exceeds model block_size")
         self.kv_quant = bool(kv_quant)
         self.steps_per_sync = int(steps_per_sync)
+        # chunks kept in flight by the pipelined drain (see run()): raise
+        # past 1 when the fetch round trip exceeds chunk compute time
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # speculative decoding (serving/speculative.py): each sync chunk
         # becomes steps_per_sync draft→verify ROUNDS, each emitting
         # 1..K+1 tokens per slot; the cache takes K+1 slots of headroom
@@ -818,26 +822,33 @@ class ServingEngine:
         return int(self.n_active and self.steps_per_sync * self.slots)
 
     def run(self, max_chunks: int = 10_000, *,
-            pipelined: bool = True) -> dict[int, RequestResult]:
+            pipelined: bool = True,
+            pipeline_depth: int | None = None) -> dict[int, RequestResult]:
         """Drain the queue; returns {request_id: RequestResult}.
 
-        ``pipelined`` keeps one decode chunk in flight: while chunk N runs
-        on the device, the host fetches and retires chunk N-1 and admits
-        into the state that chunk N+1 will see. This hides the per-chunk
-        dispatch + fetch latency (dominant on relayed runtimes) at the
-        cost of finished slots decoding one extra (discarded) chunk before
-        they free. GREEDY outputs are identical either way (a slot's
-        tokens depend only on its own admission, and overshoot past a
-        request's stop/budget is discarded on the host). Sampled
-        (temperature > 0) outputs are drawn from the identical per-token
-        distribution but the realized draws can differ: pipelining delays
-        re-admission into a freed slot by one chunk, shifting which split
-        of the engine key serves that request."""
-        for _ in self.stream(max_chunks, pipelined=pipelined):
+        ``pipelined`` keeps decode chunks in flight: while chunk N runs
+        on the device, the host fetches and retires earlier chunks and
+        admits into the state later chunks will see. This hides the
+        per-chunk dispatch + fetch latency (dominant on relayed runtimes)
+        at the cost of finished slots decoding extra (discarded) chunks
+        before they free. ``pipeline_depth`` (default: the engine's
+        ``pipeline_depth``, itself default 1) sets how many chunks stay
+        in flight — on runtimes whose fetch round trip exceeds the chunk
+        compute time, depth 2–3 keeps the device busy through the fetch.
+        GREEDY outputs are identical at every depth (a slot's tokens
+        depend only on its own admission, and overshoot past a request's
+        stop/budget is discarded on the host). Sampled (temperature > 0)
+        outputs are drawn from the identical per-token distribution but
+        the realized draws can differ: pipelining delays re-admission
+        into a freed slot, shifting which split of the engine key serves
+        that request."""
+        for _ in self.stream(max_chunks, pipelined=pipelined,
+                             pipeline_depth=pipeline_depth):
             pass
         return self.results
 
-    def stream(self, max_chunks: int = 10_000, *, pipelined: bool = True):
+    def stream(self, max_chunks: int = 10_000, *, pipelined: bool = True,
+               pipeline_depth: int | None = None):
         """Drain the queue, yielding token deltas as they are decoded.
 
         Generator of (request_id, new_tokens, finish_reason) events —
@@ -845,8 +856,8 @@ class ServingEngine:
         ``finish_reason`` is "" while the request is still running, then
         "stop" or "length" on its final event. The same scheduling as
         ``run`` (which simply exhausts this generator); see ``run`` for
-        the ``pipelined`` semantics. ``self.results`` accumulates the
-        full per-request outputs as usual."""
+        the ``pipelined``/``pipeline_depth`` semantics. ``self.results``
+        accumulates the full per-request outputs as usual."""
         if not pipelined:
             for _ in range(max_chunks):
                 if not self.pending and self.n_active == 0:
@@ -856,26 +867,39 @@ class ServingEngine:
                     yield from self._retire(self._chunk_token_rows(chunk[0]), chunk[1])
             raise RuntimeError("serving run did not drain within max_chunks")
 
-        inflight = None  # (tokens, slot→request snapshot at dispatch)
+        from collections import deque
+
+        depth = max(1, int(pipeline_depth or self.pipeline_depth))
+        inflight: deque = deque()  # (tokens, slot→request snapshot) FIFO
         try:
             for _ in range(max_chunks):
-                if not self.pending and self.n_active == 0 and inflight is None:
+                if not self.pending and self.n_active == 0 and not inflight:
                     return
-                # swap BEFORE yielding: _retire completes its bookkeeping
-                # before any event is yielded, so if the consumer closes the
-                # generator mid-yield, `inflight` is exactly the one chunk
-                # still needing retirement (no double-retire of `prev`)
-                prev, inflight = inflight, self._dispatch_chunk()
-                if prev is not None:
-                    # fetch overlaps with the chunk dispatched above
-                    yield from self._retire(self._chunk_token_rows(prev[0]), prev[1])
+                # keep ``depth`` chunks still in flight WHILE the oldest
+                # is fetched/retired below (so fill to depth + 1 before
+                # popping); chunks queue on the device, keeping compute
+                # busy through the fetch round trip
+                while len(inflight) < depth + 1:
+                    chunk = self._dispatch_chunk()
+                    if chunk is None:
+                        break
+                    inflight.append(chunk)
+                if not inflight:
+                    return
+                # pop BEFORE yielding: _retire completes its bookkeeping
+                # before any event is yielded, so if the consumer closes
+                # the generator mid-yield, ``inflight`` holds exactly the
+                # chunks still needing retirement (no double-retire)
+                prev = inflight.popleft()
+                yield from self._retire(self._chunk_token_rows(prev[0]), prev[1])
         finally:
             # an abandoned generator (consumer break / close) must not drop
-            # the dispatched-but-unretired chunk: the device state already
+            # dispatched-but-unretired chunks: the device state already
             # advanced, so skipping retirement would leave a silent gap in
             # every active request's tokens if draining resumes later
-            if inflight is not None:
-                self._retire(self._chunk_token_rows(inflight[0]), inflight[1])
+            while inflight:
+                prev = inflight.popleft()
+                self._retire(self._chunk_token_rows(prev[0]), prev[1])
         raise RuntimeError("serving run did not drain within max_chunks")
 
 

@@ -54,6 +54,10 @@ def main(argv=None) -> int:
                          "draft table is fitted to a model-sampled stream")
     ap.add_argument("--sync", action="store_true",
                     help="synchronous drain (no chunk pipelining)")
+    ap.add_argument("--pipeline_depth", type=int, default=1,
+                    help="chunks kept in flight during retirement (raise "
+                         "to 2-3 when the fetch round trip exceeds chunk "
+                         "compute time)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -110,7 +114,7 @@ def main(argv=None) -> int:
         eng = ServingEngine(
             params, cfg, slots=args.slots, max_seq_len=args.max_seq_len,
             kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
-            seed=seed, **spec_kw,
+            seed=seed, pipeline_depth=args.pipeline_depth, **spec_kw,
         )
         for prompt, budget in reqs:
             eng.submit(prompt, budget, temperature=args.temperature)
@@ -124,7 +128,7 @@ def main(argv=None) -> int:
         eng = ServingEngine(
             params, cfg, slots=args.slots, max_seq_len=args.max_seq_len,
             kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
-            seed=seed, **spec_kw,
+            seed=seed, pipeline_depth=args.pipeline_depth, **spec_kw,
         )
         return poisson_latency_drain(
             eng, [(p, b, args.temperature) for p, b in reqs], rate,
@@ -152,6 +156,7 @@ def main(argv=None) -> int:
             "requests": args.requests,
             "slots": args.slots,
             "steps_per_sync": args.steps_per_sync,
+            "pipeline_depth": args.pipeline_depth,
             "kv_quant": bool(args.kv_quant),
             "int8_weights": bool(args.int8_weights),
             "speculative_k": args.speculative,
@@ -177,6 +182,7 @@ def main(argv=None) -> int:
         "delivered_tokens": delivered,
         "elapsed_sec": round(elapsed, 2),
         "steps_per_sync": args.steps_per_sync,
+        "pipeline_depth": args.pipeline_depth,
         "max_seq_len": args.max_seq_len,
         "kv_quant": bool(args.kv_quant),
         "int8_weights": bool(args.int8_weights),

@@ -119,21 +119,26 @@ class TestServingEngine:
         assert drain(mesh) == drain(None)
 
     def test_pipelined_drain_matches_sync(self):
-        """pipelined=True (one chunk in flight, late retirement) must
-        deliver identical per-request tokens to the synchronous drain,
-        including through slot reuse under queue pressure."""
+        """pipelined=True (chunks in flight, late retirement) must
+        deliver identical per-request tokens to the synchronous drain at
+        EVERY pipeline depth, including through slot reuse under queue
+        pressure."""
         params, cfg = make_model()
         rng = np.random.default_rng(6)
         reqs = [([1] + [int(t) for t in rng.integers(4, 68, n)], b)
                 for n, b in [(6, 8), (12, 5), (4, 14), (9, 7), (15, 4), (5, 11)]]
 
-        def drain(pipelined):
-            eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4)
+        def drain(pipelined, depth=1):
+            eng = ServingEngine(params, cfg, slots=2, steps_per_sync=4,
+                                pipeline_depth=depth)
             rids = [eng.submit(p, b) for p, b in reqs]
             res = eng.run(pipelined=pipelined)
             return [res[r].tokens for r in rids]
 
-        assert drain(True) == drain(False)
+        sync = drain(False)
+        assert drain(True) == sync
+        assert drain(True, depth=2) == sync
+        assert drain(True, depth=3) == sync
 
     @pytest.mark.parametrize("pipelined", [False, True])
     def test_stream_yields_incremental_deltas(self, pipelined):
