@@ -661,11 +661,14 @@ class ServingEngine:
             "speculative_k": self._spec_k,
         }
         if self._spec_k and self._spec_rounds:
-            out["speculative_accept_rate"] = round(
-                (self._spec_emitted - self._spec_rounds)
-                / (self._spec_rounds * self._spec_k), 4)
+            # clamp: a cross-thread read between the two counter updates
+            # can still observe a transiently-high emitted total
+            rate = ((self._spec_emitted - self._spec_rounds)
+                    / (self._spec_rounds * self._spec_k))
+            out["speculative_accept_rate"] = round(min(max(rate, 0.0), 1.0), 4)
             out["speculative_tokens_per_round"] = round(
-                self._spec_emitted / self._spec_rounds, 3)
+                min(self._spec_emitted / self._spec_rounds,
+                    self._spec_k + 1), 3)
         return out
 
     # -- scheduling --------------------------------------------------------
@@ -797,9 +800,11 @@ class ServingEngine:
             toks = packed[:, :, 1:]
             # live acceptance telemetry: counts > 0 marks an active
             # (slot, round) pair; each emitted 1 + m tokens of which m
-            # were accepted drafts
-            self._spec_rounds += int((counts > 0).sum())
+            # were accepted drafts. Emitted increments FIRST: stats() may
+            # read from another thread (the HTTP /stats handler), and
+            # emitted >= rounds must hold in every observable interleaving
             self._spec_emitted += int(counts.sum())
+            self._spec_rounds += int((counts > 0).sum())
             return [
                 [int(t)
                  for r in range(toks.shape[1])

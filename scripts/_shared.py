@@ -54,6 +54,8 @@ def poisson_latency_drain(engine, requests, rate: float, *, seed: int = 0,
 
     import numpy as np
 
+    if not requests:
+        return [], [], 0, 0.0
     arr_rng = np.random.default_rng(seed + 7)
     gaps = arr_rng.exponential(1.0 / rate, len(requests))
     t0 = time.perf_counter()

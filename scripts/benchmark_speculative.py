@@ -190,14 +190,19 @@ def main(argv=None) -> int:
         n_req = int(args.serving_requests)
         hold = prompts  # held-out prompts, reused round-robin
 
-        def drain(spec: bool) -> float:
+        def mk_engine(spec: bool) -> "ServingEngine":
+            # ONE construction site: the drain and latency protocols must
+            # measure identical engines
             kw = (dict(speculative_k=args.n_draft, draft_table=table)
                   if spec else {})
+            return ServingEngine(
+                params, cfg, slots=args.batch_size,
+                max_seq_len=args.prefill_len + args.decode_tokens,
+                kv_quant=args.kv_quant, steps_per_sync=16, seed=7, **kw)
+
+        def drain(spec: bool) -> float:
             def once(n):
-                eng = ServingEngine(
-                    params, cfg, slots=args.batch_size,
-                    max_seq_len=args.prefill_len + args.decode_tokens,
-                    kv_quant=args.kv_quant, steps_per_sync=16, seed=7, **kw)
+                eng = mk_engine(spec)
                 for i in range(n):
                     eng.submit([int(t) for t in hold[i % len(hold)]],
                                args.decode_tokens,
@@ -220,24 +225,16 @@ def main(argv=None) -> int:
             from scripts._shared import poisson_latency_drain
 
             def latency(spec: bool) -> dict:
-                kw = (dict(speculative_k=args.n_draft, draft_table=table)
-                      if spec else {})
-                def mk():
-                    return ServingEngine(
-                        params, cfg, slots=args.batch_size,
-                        max_seq_len=args.prefill_len + args.decode_tokens,
-                        kv_quant=args.kv_quant, steps_per_sync=16, seed=7,
-                        **kw)
                 reqs = [([int(t) for t in hold[i % len(hold)]],
                          args.decode_tokens, args.temperature)
                         for i in range(n_req)]
                 # compile + warm
-                warm = mk()
+                warm = mk_engine(spec)
                 for p, b, tt in reqs[: args.batch_size]:
                     warm.submit(p, b, temperature=tt)
                 warm.run()
                 ttft, itl, _, _ = poisson_latency_drain(
-                    mk(), reqs, args.arrival_rate, seed=args.seed)
+                    mk_engine(spec), reqs, args.arrival_rate, seed=args.seed)
                 pct = lambda xs, q: round(
                     float(np.percentile(xs, q)) * 1e3, 1)
                 return {"ttft_p50_ms": pct(ttft, 50),

@@ -64,13 +64,18 @@ def main(argv=None) -> int:
         succ[i, rng.choice(V, 4, replace=False)] = rng.dirichlet(np.ones(4)) * 10
     succ /= succ.sum(axis=1, keepdims=True)
 
+    # per-genus transition matrices (mix depends only on the genus)
+    genus_trans = []
+    for genus in range(args.genera):
+        t = (args.coupling * succ
+             + (1 - args.coupling) * dialects[genus][None, :])
+        genus_trans.append(t / t.sum(axis=1, keepdims=True))
+
     rows = []
     for g in range(args.genes):
         genus = g % args.genera
         genome = (g // args.genera) % args.genomes_per_genus
-        trans = (args.coupling * succ
-                 + (1 - args.coupling) * dialects[genus][None, :])
-        trans = trans / trans.sum(axis=1, keepdims=True)
+        trans = genus_trans[genus]
         n = int(rng.integers(args.min_codons, args.max_codons + 1))
         state = int(rng.choice(V, p=dialects[genus]))
         body = []
