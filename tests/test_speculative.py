@@ -249,6 +249,30 @@ class TestSpeculativeGenerate:
             jnp.asarray(table), 3, 0.0, False, jnp.asarray(allowed))
         np.testing.assert_array_equal(plain, np.asarray(spec))
 
+    @pytest.mark.parametrize("n_tokens,n_draft,plen", [
+        (1, 3, 4),   # K > n_tokens: overshoot parks in the scratch column
+        (2, 4, 1),   # minimal prompt
+        (5, 1, 3),   # minimal draft
+    ])
+    def test_edge_shapes_greedy_exact(self, n_tokens, n_draft, plen):
+        """Tiny horizons/prompts/drafts: the while-loop generator's output
+        buffer and overshoot parking must stay exact."""
+        params, cfg = make_model()
+        rng = np.random.default_rng(20 + n_tokens)
+        prompts = np.concatenate(
+            [np.ones((2, 1), np.int32),
+             rng.integers(4, 68, (2, plen - 1)).astype(np.int32)], axis=1
+        ) if plen > 1 else np.ones((2, 1), np.int32)
+        plain = np.asarray(generate_tokens(
+            params, cfg, jnp.asarray(prompts), n_tokens,
+            jax.random.PRNGKey(5), 0.0))
+        table = fit_bigram_table(rng.integers(0, 68, 3000), 68)
+        spec, stats = speculative_generate(
+            params, cfg, prompts, n_tokens, jax.random.PRNGKey(6), table,
+            n_draft=n_draft, temperature=0.0)
+        np.testing.assert_array_equal(plain, spec)
+        assert stats["tokens_per_round"] >= 1.0
+
     def test_distribution_preserved(self):
         """Empirical speculative joint over 2 sampled tokens matches the
         exactly-computed target joint (temperature 0.9)."""
