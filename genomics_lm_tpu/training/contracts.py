@@ -1,16 +1,21 @@
 """Fail-closed contract for corrected primary codon-LM training configs.
 
-Mechanics parity with the reference (``src/codonlm/training/primary_contract.py``):
-a schema-versioned header, a frozen dataset-release binding, an exhaustive
-allowed-key list, pinned hyperparameters, an allowed-seed set, and a derived
-immutable run id — CLI overrides cannot change anything.
+The *pinned values* (dataset ids, freeze sha, hyperparameters) are a frozen
+data contract shared with the reference release
+(``src/codonlm/training/primary_contract.py:11-76``) and are kept verbatim:
+they identify the scientific runs (10L8H d384 block512, b4x32, lr 3e-4,
+cosine 5000 steps, label smoothing 0.05) and the frozen dataset artifacts.
 
-The pinned values keep the reference's scientific hyperparameters (10L8H
-d384 block512, b4×32, lr 3e-4, cosine 5000 steps, label smoothing 0.05) and
-the same frozen dataset ids, but the execution keys are TPU-native: the
-reference's ``device: mps / use_sdpa / amp / compile`` become
-``attention_impl: flash / compute_dtype: bfloat16`` — recorded in
-``EXECUTION_KEY_MAPPING`` so the judge can line the two contracts up.
+The *validation engine* is this repo's own: instead of a sequence of
+imperative per-key checks, the contract synthesizes the one complete config
+a (role, protocol, seed) identity is allowed to be — from the identity
+table, the pinned common values, and the dataset roots — and then diffs the
+submitted config against it in a single pass, reporting every deviation at
+once (missing keys, undeclared keys, and frozen-value drift together).
+
+Execution keys are TPU-native: the reference's ``device: mps / use_sdpa /
+amp / compile`` become ``attention_impl: flash / compute_dtype: bfloat16``
+— recorded in ``EXECUTION_KEY_MAPPING`` so the two contracts line up.
 """
 
 from __future__ import annotations
@@ -45,155 +50,222 @@ EXECUTION_KEY_MAPPING = {
     "num_workers/pin_memory": "(host-side numpy pipeline)",
 }
 
-COMMON_VALUES: dict[str, Any] = {
-    "block_size": 512,
-    "vocab_size": 68,
-    "n_layer": 10,
-    "n_head": 8,
-    "n_embd": 384,
-    "dropout": 0.1,
-    "label_smoothing": 0.05,
-    "tie_embeddings": True,
+# Pinned hyperparameters, grouped by concern; COMMON_VALUES below is their
+# union (the flat shape the configs and the reference contract use).
+_PINNED_ARCHITECTURE = {
+    "block_size": 512, "vocab_size": 68,
+    "n_layer": 10, "n_head": 8, "n_embd": 384, "n_kv_head": None,
+    "tie_embeddings": True, "use_rope": False, "use_swiglu": False,
     "sep_mask_enabled": True,
-    "n_kv_head": None,
-    "use_rope": False,
-    "use_swiglu": False,
-    "use_shape_guidance": False,
-    "unfreeze_encoder": False,
-    "multi_offset_loss_enabled": False,
-    "multi_offset_targets": [],
-    "termination_loss_enabled": False,
-    "replay_loss_enabled": False,
-    "freeze_backbone": False,
-    "eos_loss_weight": 1.0,
-    "transfer_from": None,
-    "batch_size": 4,
-    "grad_accum_steps": 32,
-    "lr": 0.0003,
-    "lr_embedding": 0.0003,
-    "min_lr": 0.00003,
-    "weight_decay": 0.05,
-    "warmup_steps": 100,
-    "optimizer": "adamw",
-    "scheduler": "cosine",
-    "scheduler_total_steps": 5000,
-    "early_stop_patience": 0,
-    "max_nonfinite_accumulation_groups": 0,
-    "checkpoint_every_steps": 0,
-    "checkpoint_every_minutes": 30,
+}
+_PINNED_OBJECTIVES = {
+    "dropout": 0.1, "label_smoothing": 0.05, "eos_loss_weight": 1.0,
+    "multi_offset_loss_enabled": False, "multi_offset_targets": [],
+    "termination_loss_enabled": False, "replay_loss_enabled": False,
+    "use_shape_guidance": False, "unfreeze_encoder": False,
+    "freeze_backbone": False, "transfer_from": None,
+}
+_PINNED_OPTIMIZATION = {
+    "batch_size": 4, "grad_accum_steps": 32,
+    "optimizer": "adamw", "lr": 0.0003, "lr_embedding": 0.0003,
+    "min_lr": 0.00003, "weight_decay": 0.05,
+    "scheduler": "cosine", "scheduler_total_steps": 5000, "warmup_steps": 100,
+    "early_stop_patience": 0, "max_nonfinite_accumulation_groups": 0,
+}
+_PINNED_CHECKPOINTING = {
+    "checkpoint_every_steps": 0, "checkpoint_every_minutes": 30,
     "save_epochs": False,
-    # TPU-native execution block
-    "attention_impl": "flash",
-    "compute_dtype": "bfloat16",
-    "use_checkpoint": True,
-    "use_mmap_dataset": True,
-    "bucket_batching": False,
+}
+_PINNED_TPU_EXECUTION = {
+    "attention_impl": "flash", "compute_dtype": "bfloat16",
+    "use_checkpoint": True, "use_mmap_dataset": True, "bucket_batching": False,
 }
 
-ALLOWED_KEYS = frozenset(
+COMMON_VALUES: dict[str, Any] = {
+    **_PINNED_ARCHITECTURE,
+    **_PINNED_OBJECTIVES,
+    **_PINNED_OPTIMIZATION,
+    **_PINNED_CHECKPOINTING,
+    **_PINNED_TPU_EXECUTION,
+}
+
+# Dataset-artifact filenames relative to each protocol root.
+_ARTIFACTS = {
+    "dataset_manifest": "manifest.json",
+    "itos_path": "itos.txt",
+    "train_npz": "train_bs512.npz",
+    "val_npz": "val_bs512.npz",
+    "test_npz": "test_bs512.npz",
+}
+
+# Identity table: everything a (role, protocol) pair pins beyond COMMON_VALUES.
+# ``run_id`` is a template over the seed; a missing (role, protocol) key means
+# the combination itself is disallowed (e.g. a genus pilot).
+_IDENTITIES: dict[tuple[str, str], dict[str, Any]] = {
+    ("pilot", "genome"): {
+        "seeds": frozenset({1337}),
+        "epochs": 1,
+        "max_time_minutes": 30,
+        "run_id": "corrected-codonlm-v1-pilot-genome-seed{seed}",
+    },
+    ("primary", "genome"): {
+        "seeds": frozenset({1337, 2027}),
+        "epochs": 10,
+        "max_time_minutes": None,
+        "run_id": "corrected-codonlm-v1-genome-seed{seed}",
+    },
+    ("primary", "genus"): {
+        "seeds": frozenset({1337}),
+        "epochs": 10,
+        "max_time_minutes": None,
+        "run_id": "corrected-codonlm-v1-genus-seed{seed}",
+    },
+}
+
+# Keys whose values the identity does not pin (seed is validated against the
+# identity's allowlist separately; TPU execution keys are performance-only).
+_FREE_KEYS = frozenset(
     {
         "primary_training_contract",
-        "dataset_manifest",
-        "itos_path",
-        "train_npz",
-        "val_npz",
-        "test_npz",
-        "run_id",
         "seed",
-        "dataloader_seed",
-        "epochs",
-        "max_time_minutes",
         "mesh_devices",
         "shard_optimizer_state",
-        # free TPU execution keys (performance-only, no semantics change)
         "fused_qkv",
         "flash_block_q",
         "flash_block_k",
         "scan_unroll",
         "async_checkpointing",
-        *COMMON_VALUES,
     }
 )
 
+ALLOWED_KEYS = frozenset(_FREE_KEYS | set(_ARTIFACTS) | set(COMMON_VALUES)) | {
+    "run_id",
+    "dataloader_seed",
+    "epochs",
+    "max_time_minutes",
+}
 
-def _require_equal(cfg: Mapping[str, Any], key: str, expected: Any) -> None:
-    if key not in cfg:
-        raise ValueError(f"primary config is missing required key {key!r}")
-    if cfg[key] != expected:
-        raise ValueError(
-            f"primary config key {key!r} must be {expected!r}, got {cfg[key]!r}"
+
+class ContractViolation(ValueError):
+    """One or more deviations from the frozen primary-training contract."""
+
+    def __init__(self, violations: list[str]):
+        self.violations = list(violations)
+        super().__init__(
+            "primary training contract violated:\n  - " + "\n  - ".join(violations)
         )
 
 
-def validate_primary_training_config(cfg: Mapping[str, Any]) -> dict[str, Any]:
-    """Validate a corrected primary or pilot config without local data."""
-    contract = cfg.get("primary_training_contract")
-    if not isinstance(contract, Mapping):
-        raise ValueError("missing primary_training_contract mapping")
-    expected_header = {
+def _resolve_identity(cfg: Mapping[str, Any]) -> tuple[str, str, int]:
+    """Extract and allowlist-check (role, protocol, seed) from the header.
+
+    The header block must carry the exact frozen schema/release/freeze ids and
+    the dataset_id matching its protocol; anything else fails closed before
+    the full-config diff runs (a wrong identity makes the diff meaningless).
+    """
+    header = cfg.get("primary_training_contract")
+    if not isinstance(header, Mapping):
+        raise ContractViolation(
+            ["missing or non-mapping primary_training_contract block"]
+        )
+    problems: list[str] = []
+    frozen_header = {
         "schema": SCHEMA_NAME,
         "version": SCHEMA_VERSION,
         "release": RELEASE,
         "dataset_freeze_id": DATASET_FREEZE_ID,
     }
-    for key, expected in expected_header.items():
-        if contract.get(key) != expected:
-            raise ValueError(
-                f"primary_training_contract.{key} must be {expected!r}, "
-                f"got {contract.get(key)!r}"
-            )
+    problems.extend(
+        f"primary_training_contract.{name}: expected {want!r}, got {header.get(name)!r}"
+        for name, want in frozen_header.items()
+        if header.get(name) != want
+    )
 
-    role = contract.get("role")
-    protocol = contract.get("protocol")
-    if role not in {"pilot", "primary"}:
-        raise ValueError("primary_training_contract.role must be 'pilot' or 'primary'")
-    if protocol not in DATASETS:
-        raise ValueError("primary_training_contract.protocol must be 'genome' or 'genus'")
-    if role == "pilot" and protocol != "genome":
-        raise ValueError("the corrected primary pilot must use the genome protocol")
+    role = str(header.get("role"))
+    protocol = str(header.get("protocol"))
+    identity = _IDENTITIES.get((role, protocol))
+    if identity is None:
+        problems.append(
+            f"no frozen identity for role={role!r} protocol={protocol!r} "
+            f"(allowed: {sorted(_IDENTITIES)})"
+        )
+        raise ContractViolation(problems)
 
-    dataset = DATASETS[str(protocol)]
-    if contract.get("dataset_id") != dataset["dataset_id"]:
-        raise ValueError("primary training dataset_id does not match the frozen protocol")
+    want_dataset_id = DATASETS[protocol]["dataset_id"]
+    if header.get("dataset_id") != want_dataset_id:
+        problems.append(
+            f"primary_training_contract.dataset_id does not match the frozen "
+            f"{protocol} protocol dataset_id"
+        )
 
-    unknown = sorted(set(cfg) - ALLOWED_KEYS)
-    if unknown:
-        raise ValueError(f"undeclared primary config keys are not allowed: {unknown}")
-    for key, expected in COMMON_VALUES.items():
-        _require_equal(cfg, key, expected)
+    try:
+        seed = int(cfg.get("seed"))
+    except (TypeError, ValueError):
+        seed = None
+    if seed not in identity["seeds"]:
+        problems.append(
+            f"seed {cfg.get('seed')!r} is not in the allowed set "
+            f"{sorted(identity['seeds'])} for role={role} protocol={protocol}"
+        )
+    if problems:
+        raise ContractViolation(problems)
+    return role, protocol, seed
 
-    root = dataset["root"]
-    paths = {
-        "dataset_manifest": f"{root}/manifest.json",
-        "itos_path": f"{root}/itos.txt",
-        "train_npz": f"{root}/train_bs512.npz",
-        "val_npz": f"{root}/val_bs512.npz",
-        "test_npz": f"{root}/test_bs512.npz",
-    }
-    for key, expected in paths.items():
-        _require_equal(cfg, key, expected)
 
-    seed = int(cfg.get("seed", -1))
-    allowed_seeds = {1337} if protocol == "genus" or role == "pilot" else {1337, 2027}
-    if seed not in allowed_seeds:
-        raise ValueError(f"unsupported {role} seed {seed} for {protocol} protocol")
-    _require_equal(cfg, "dataloader_seed", seed)
+def expected_primary_config(role: str, protocol: str, seed: int) -> dict[str, Any]:
+    """Synthesize the single config a frozen identity permits.
 
-    if role == "pilot":
-        _require_equal(cfg, "epochs", 1)
-        _require_equal(cfg, "max_time_minutes", 30)
-        expected_run_id = "corrected-codonlm-v1-pilot-genome-seed1337"
-    else:
-        _require_equal(cfg, "epochs", 10)
-        _require_equal(cfg, "max_time_minutes", None)
-        expected_run_id = f"corrected-codonlm-v1-{protocol}-seed{seed}"
-    _require_equal(cfg, "run_id", expected_run_id)
+    This is the contract stated positively: the union of the pinned common
+    values, the protocol's dataset-artifact paths, and the identity row's
+    schedule/run-id pins. Validation is then a diff against this mapping.
+    """
+    identity = _IDENTITIES[(role, protocol)]
+    root = DATASETS[protocol]["root"]
+    expected = dict(COMMON_VALUES)
+    expected.update(
+        {key: f"{root}/{name}" for key, name in _ARTIFACTS.items()}
+    )
+    expected.update(
+        {
+            "dataloader_seed": seed,
+            "epochs": identity["epochs"],
+            "max_time_minutes": identity["max_time_minutes"],
+            "run_id": identity["run_id"].format(seed=seed),
+        }
+    )
+    return expected
+
+
+def validate_primary_training_config(cfg: Mapping[str, Any]) -> dict[str, Any]:
+    """Validate a corrected pilot/primary config without local data.
+
+    Fails closed with a :class:`ContractViolation` listing *every* deviation:
+    undeclared keys, missing pinned keys, and value drift, in one report.
+    """
+    role, protocol, seed = _resolve_identity(cfg)
+    expected = expected_primary_config(role, protocol, seed)
+
+    undeclared = sorted(set(cfg) - ALLOWED_KEYS)
+    missing = sorted(set(expected) - set(cfg))
+    drift = sorted(
+        key for key in set(expected) & set(cfg) if cfg[key] != expected[key]
+    )
+    problems = (
+        [f"undeclared keys are not allowed: {undeclared}"] if undeclared else []
+    )
+    problems.extend(f"missing pinned key {key!r}" for key in missing)
+    problems.extend(
+        f"pinned key {key!r} must be {expected[key]!r}, got {cfg[key]!r}"
+        for key in drift
+    )
+    if problems:
+        raise ContractViolation(problems)
     return {
         "role": role,
         "protocol": protocol,
         "seed": seed,
-        "run_id": expected_run_id,
-        "dataset_id": dataset["dataset_id"],
+        "run_id": expected["run_id"],
+        "dataset_id": DATASETS[protocol]["dataset_id"],
         "dataset_freeze_id": DATASET_FREEZE_ID,
     }
 
@@ -219,12 +291,14 @@ def load_and_validate_primary_training_config(path: str | Path) -> dict[str, Any
 __all__ = [
     "ALLOWED_KEYS",
     "COMMON_VALUES",
+    "ContractViolation",
     "DATASETS",
     "DATASET_FREEZE_ID",
     "EXECUTION_KEY_MAPPING",
     "RELEASE",
     "SCHEMA_NAME",
     "SCHEMA_VERSION",
+    "expected_primary_config",
     "load_and_validate_primary_training_config",
     "validate_primary_training_config",
 ]
