@@ -19,6 +19,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy cross-framework / multi-process suite
+
 from genomics_lm_tpu.utils import torch_bridge
 
 if not torch_bridge.reference_available():  # pragma: no cover

@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy cross-framework / multi-process suite
+
 REPO = Path(__file__).resolve().parent.parent
 
 

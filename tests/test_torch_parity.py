@@ -23,6 +23,8 @@ Skipped automatically when torch or the reference checkout is unavailable
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy cross-framework / multi-process suite
+
 import jax
 import jax.numpy as jnp
 
