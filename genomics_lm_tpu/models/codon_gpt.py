@@ -348,6 +348,21 @@ def _run_blocks(params, cfg: CodonGPTConfig, x, *, segment_ids, attention_window
 
 
 def _lm_logits(params, cfg: CodonGPTConfig, x):
+    if cfg.pad_vocab_lanes and cfg.vocab_size % 128:
+        # shape-side lever: pad the 68-wide head matmul's output dim to
+        # the MXU's 128-lane boundary explicitly, then slice back. XLA
+        # pads the lane dim internally either way; this makes the layout
+        # choice explicit so the effect can be measured (sweep_d512.py).
+        lanes = (-cfg.vocab_size) % 128
+        if cfg.tie_embeddings:
+            w = jnp.pad(params["tok_emb"].astype(x.dtype), ((0, lanes), (0, 0)))
+            return (x @ w.T)[..., : cfg.vocab_size]
+        head = params["head"]
+        w = jnp.pad(head["w"].astype(x.dtype), ((0, 0), (0, lanes)))
+        out = x @ w
+        if "b" in head:
+            out = out + jnp.pad(head["b"].astype(x.dtype), (0, lanes))
+        return out[..., : cfg.vocab_size]
     if cfg.tie_embeddings:
         return x @ params["tok_emb"].astype(x.dtype).T
     return _linear(params["head"], x)

@@ -38,6 +38,7 @@ class CodonGPTConfig:
     loss_weights: tuple[float, ...] | None = None  # per-token CE weights
     # TPU execution knobs (no reference equivalent):
     use_checkpoint: bool = False  # remat each block (reference grad-ckpt)
+    pad_vocab_lanes: bool = False  # pad the 68-wide LM-head matmul to 128 lanes
     attention_impl: str = "xla"  # "xla" | "flash"
     compute_dtype: str = "float32"  # "bfloat16" for AMP-style training
     fused_qkv: bool = False  # one (C, C+2*Ckv) matmul instead of 3 gemms
