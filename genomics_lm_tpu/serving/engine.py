@@ -490,6 +490,7 @@ class ServingEngine:
         speculative_k: int = 0,
         draft_table=None,
         pipeline_depth: int = 1,
+        warm_spec_filters: bool = False,
     ):
         self.cfg = cfg
         self.slots = int(slots)
@@ -581,6 +582,11 @@ class ServingEngine:
             self._allowed = jnp.asarray(m)
         self._spec_rounds = 0   # active (slot, round) pairs consumed
         self._spec_emitted = 0  # tokens those rounds emitted
+        # warm_spec_filters pins the filtered speculative program from the
+        # first dispatch (cold start instead of a mid-serve recompile
+        # stall when the first top-k/top-p request arrives); otherwise
+        # the flag turns on at the first filtered request and stays on
+        self._spec_filters_seen = bool(warm_spec_filters and self._spec_k)
         self.pending: list[Request] = []
         self.results: dict[int, RequestResult] = {}
         self._completed = 0  # finished (incl. cancelled); thread-safe to read
@@ -765,11 +771,17 @@ class ServingEngine:
             # static fast path when no ACTIVE request uses top-k/top-p
             # (slot params persist after retirement — mask to live slots,
             # else one finished top-k request disables the fast path until
-            # its slot happens to be reused)
+            # its slot happens to be reused). The flag is STICKY once a
+            # filtered request has been seen: flapping it as filtered
+            # requests arrive/drain would trigger a full recompile stall
+            # each way on a live server — one transition (and one cached
+            # program per variant) is the bound. warm_spec_filters=True
+            # precompiles the filtered variant at construction instead.
             live = np.array([r is not None for r in self._slot_req])
-            use_filters = bool(
+            use_filters = self._spec_filters_seen or bool(
                 (self._topk[live] > 0).any()
                 or ((self._topp[live] > 0) & (self._topp[live] < 1)).any())
+            self._spec_filters_seen = use_filters
             self.state, toks, counts = serve_steps_speculative(
                 self.params, self.cfg, self.state, self.steps_per_sync,
                 self._samp_dev, self._table, sub, self._allowed,

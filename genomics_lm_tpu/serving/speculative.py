@@ -317,6 +317,16 @@ def _speculative_round(params, cfg: CodonGPTConfig, state: dict,
 
     def draft_body(prev, k):
         rows = table[prev]  # (B, V)
+        if use_filters:
+            # pass the draft rows through each slot's own sampling chain
+            # (temperature → top-k → top-p), mirroring the allowed_mask
+            # handling: without this, a slot with aggressive filters
+            # rejects every draft outside the target's nucleus and the
+            # speedup silently collapses. Exactness is preserved for any
+            # Q — the SAME transformed rows are used for drafting and in
+            # speculative_acceptance, and tokens with Q=0 but P>0 are
+            # covered by the residual resample.
+            rows = _slot_probs(jnp.log(rows), sampling, allowed_mask, True)
         d = jax.random.categorical(k, jnp.log(rows), axis=-1).astype(jnp.int32)
         return d, (d, rows)
 

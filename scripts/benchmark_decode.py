@@ -92,7 +92,7 @@ def main(argv=None) -> int:
         from genomics_lm_tpu.generation.decode import generate_tokens
         from genomics_lm_tpu.serving.speculative import (
             fit_bigram_table,
-            speculative_generate,
+            generate_tokens_speculative,
         )
 
         # draft table fitted to a stream sampled from the model — the
@@ -103,15 +103,22 @@ def main(argv=None) -> int:
             params, cfg, prompt[: min(8, B)],
             min(256, args.block_size - P), jax.random.PRNGKey(42),
             1.0, args.kv_quant))
-        table = fit_bigram_table([row for row in stream], cfg.vocab_size)
+        table_dev = jnp.asarray(
+            fit_bigram_table([row for row in stream], cfg.vocab_size),
+            jnp.float32)
 
+        # time the jitted whole-generation program directly so the timed
+        # loop stays as async as the plain scan path; acceptance stats
+        # are fetched ONCE from the final round outside the timed loop
+        # (speculative_generate's per-call int()/np.asarray fetches would
+        # serialize dispatch + D2H per run and understate speculation on
+        # relayed runtimes — same discipline as benchmark_speculative.py)
         def run_once(key):
-            toks, stats = speculative_generate(
-                params, cfg, prompt, args.decode_tokens, key, table,
-                n_draft=args.speculative, temperature=args.temperature,
-                kv_quant=args.kv_quant)
-            spec_stats.update(stats)
-            return jnp.asarray(toks)
+            toks, row_rounds, emitted = generate_tokens_speculative(
+                params, cfg, prompt, args.decode_tokens, key, table_dev,
+                args.speculative, args.temperature, args.kv_quant)
+            spec_stats["_last"] = (row_rounds, emitted)
+            return toks
     elif args.mode == "scan":
         from genomics_lm_tpu.generation.decode import generate_tokens
 
@@ -138,6 +145,12 @@ def main(argv=None) -> int:
         out = run_once(jax.random.PRNGKey(2 + round_idx))
     float(jnp.sum(out).astype(jnp.float32))
     elapsed = time.perf_counter() - t0
+
+    if args.speculative and "_last" in spec_stats:
+        row_rounds, emitted = (int(v) for v in spec_stats.pop("_last"))
+        spec_stats["accept_rate"] = (
+            (emitted - row_rounds) / max(1, row_rounds * args.speculative))
+        spec_stats["tokens_per_round"] = emitted / max(1, row_rounds)
 
     generated = B * args.decode_tokens * args.measure_rounds
     report = {

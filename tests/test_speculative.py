@@ -390,6 +390,47 @@ class TestEngineSpeculative:
         res = eng.run()
         assert res[rid].tokens == [int(t) for t in expect]
 
+    def test_filtered_slots_still_accept_with_fitted_draft(self):
+        """Per-slot top-k/top-p filters must not collapse acceptance.
+
+        The draft rows pass through each slot's own sampling chain
+        (``speculative.py`` draft_body), so a draft fitted to the model's
+        conditionals keeps a nonzero accept rate even when every active
+        request uses an aggressive filter — previously drafts were drawn
+        from the raw table and anything outside the target's nucleus was
+        always rejected. Output exactness is asserted alongside (greedy
+        rows must still match the plain generate_tokens stream)."""
+        params, cfg = make_model()
+        rng = np.random.default_rng(21)
+        prompts = [
+            [1] + [int(t) for t in rng.integers(4, 68, n)]
+            for n in (7, 12, 9)
+        ]
+        # fit the draft to the model's own greedy continuations
+        streams = []
+        for p in prompts:
+            toks = np.asarray(generate_tokens(
+                params, cfg, jnp.asarray([p], jnp.int32), 16,
+                jax.random.PRNGKey(3), 0.0))[0]
+            streams.append(np.concatenate([np.asarray(p), toks]))
+        table = fit_bigram_table(streams, 68, alpha=0.01)
+
+        eng = ServingEngine(params, cfg, slots=2, steps_per_sync=3,
+                            speculative_k=3, draft_table=table,
+                            warm_spec_filters=True)
+        # greedy rows under top_k=1 (the most aggressive filter) — the
+        # use_filters path is pinned on by warm_spec_filters
+        rids = [eng.submit(p, 10, temperature=0.0, top_k=1)
+                for p in prompts]
+        res = eng.run()
+        for rid, p in zip(rids, prompts):
+            expect = np.asarray(generate_tokens(
+                params, cfg, jnp.asarray([p], jnp.int32), 10,
+                jax.random.PRNGKey(9), 0.0))[0]
+            assert res[rid].tokens == [int(t) for t in expect]
+        rate = eng.stats()["speculative_accept_rate"]
+        assert rate > 0.0, f"fitted draft under top_k=1 accepted nothing ({rate})"
+
     @pytest.mark.parametrize("kv_quant", [False, True])
     def test_tensor_parallel_matches_single_device(self, kv_quant):
         """Speculative serving over a ('model',) mesh (GSPMD-partitioned
