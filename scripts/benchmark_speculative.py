@@ -90,6 +90,9 @@ def main(argv=None) -> int:
                     help="also run the open-loop Poisson latency protocol "
                          "(req/s) with and without speculation, reporting "
                          "TTFT/ITL percentiles for both")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="median-of-N serving drains (drain absolutes swing "
+                         "+-20%% on the relayed runtime)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -213,10 +216,23 @@ def main(argv=None) -> int:
                 return delivered / (time.perf_counter() - t0)
 
             once(args.batch_size)  # compile + warm
-            return once(n_req)
+            # median-of-N with dispersion: drain absolutes are
+            # chunk-round-trip bound and swing +-20% run to run
+            return sorted(once(n_req) for _ in range(max(1, args.repeats)))
 
-        serving["serving_plain_tok_per_sec"] = round(drain(False), 1)
-        serving["serving_speculative_tok_per_sec"] = round(drain(True), 1)
+        def spread(xs):
+            med = float(np.median(xs))
+            return round(100.0 * (xs[-1] - xs[0]) / med, 1) if med else 0.0
+
+        plain = drain(False)
+        spec_s = drain(True)
+        serving["serving_plain_tok_per_sec"] = round(float(np.median(plain)), 1)
+        serving["serving_plain_samples"] = [round(x, 1) for x in plain]
+        serving["serving_plain_spread_pct"] = spread(plain)
+        serving["serving_speculative_tok_per_sec"] = round(
+            float(np.median(spec_s)), 1)
+        serving["serving_speculative_samples"] = [round(x, 1) for x in spec_s]
+        serving["serving_speculative_spread_pct"] = spread(spec_s)
         serving["speedup_serving"] = round(
             serving["serving_speculative_tok_per_sec"]
             / serving["serving_plain_tok_per_sec"], 3)
