@@ -145,6 +145,7 @@ class CodonGPTConfig:
             use_shape_guidance=bool(cfg.get("use_shape_guidance", False)),
             loss_weights=tuple(cfg["loss_weights"]) if cfg.get("loss_weights") else None,
             use_checkpoint=bool(cfg.get("use_checkpoint", False)),
+            pad_vocab_lanes=bool(cfg.get("pad_vocab_lanes", False)),
             attention_impl=str(cfg.get("attention_impl", "xla")),
             compute_dtype=str(cfg.get("compute_dtype", "float32")),
             fused_qkv=bool(cfg.get("fused_qkv", False)),

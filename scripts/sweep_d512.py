@@ -61,8 +61,9 @@ def flops_per_step(model: dict, tokens: int) -> float:
     d, L, T = model["n_embd"], model["n_layer"], model["block_size"]
     kv = model.get("n_kv_head") or model["n_head"]
     kv_frac = kv / model["n_head"]
-    # per token per layer: qkv (2 + 2*kv_frac)d² + proj 2d² + mlp 16d² (GELU 4x)
-    mm = L * (4 + 2 * kv_frac + 16) * d * d
+    # per token per layer (2 FLOPs/MAC): Q 2d² + K 2·kv·d² + V 2·kv·d²
+    # + out-proj 2d² + MLP (GELU 4x) 16d²
+    mm = L * (4 + 4 * kv_frac + 16) * d * d
     head = 2 * d * model["vocab_size"]
     attn = L * 4 * d * T / 2  # causal: half the T² window, per token
     return 3.0 * tokens * (mm + head + attn)

@@ -15,7 +15,6 @@ Skipped when torch or the reference checkout is unavailable.
 
 import argparse
 import json
-from pathlib import Path
 
 import pytest
 
@@ -63,17 +62,3 @@ def test_cross_framework_training_equivalence(tmp_path):
         (tmp_path / "equiv" / "equivalence_report.json").read_text()
     )
     assert on_disk["all_gates_pass"]
-
-
-def test_recorded_full_scale_report_passes_gates():
-    """The committed full-scale artifact must itself show passing gates."""
-    path = Path(__file__).resolve().parent.parent / (
-        "docs/benchmarks/cross_framework_equivalence.json"
-    )
-    report = json.loads(path.read_text())
-    assert report["all_gates_pass"]
-    assert report["val_nll_rel_diff"] < 0.005
-    assert report["tolerance"] == 0.005
-    assert report["probe_embeddings"]["rel_diff"] <= 5e-4
-    for name in ("Uniform", "Unigram", "Bigram", "Trigram"):
-        assert report["markov_baselines"][name]["same_side"]

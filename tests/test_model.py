@@ -183,3 +183,43 @@ def test_param_count_and_config_dict():
         {"vocab_size": 68, "block_size": 16, "n_layer": 2, "n_head": 4, "d_head": 8}
     )
     assert cfg2.n_embd == 32
+
+
+class TestPadVocabLanes:
+    """pad_vocab_lanes pads the LM-head matmul to 128 output lanes and
+    slices back — logits and loss must match the unpadded path (fp32
+    reduction-order tolerance), tied and untied, and the flag must
+    round-trip through from_run_config (it drives sweep_d512.py)."""
+
+    def _pair(self, tie):
+        cfg = CodonGPTConfig(
+            vocab_size=68, block_size=32, n_layer=2, n_head=2, n_embd=64,
+            dropout=0.0, tie_embeddings=tie,
+        )
+        params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(3)
+        idx = jnp.asarray(rng.integers(4, 68, (2, 32)), jnp.int32)
+        tgt = jnp.asarray(rng.integers(4, 68, (2, 32)), jnp.int32)
+        return cfg, params, idx, tgt
+
+    @pytest.mark.parametrize("tie", [True, False])
+    def test_numerics_match_unpadded(self, tie):
+        cfg, params, idx, tgt = self._pair(tie)
+        base_logits, base_loss = codon_gpt.forward(params, cfg, idx, tgt)
+        pad_logits, pad_loss = codon_gpt.forward(
+            params, cfg.replace(pad_vocab_lanes=True), idx, tgt
+        )
+        assert pad_logits.shape == base_logits.shape
+        np.testing.assert_allclose(
+            np.asarray(pad_logits), np.asarray(base_logits), atol=1e-4
+        )
+        np.testing.assert_allclose(float(pad_loss), float(base_loss), atol=1e-5)
+
+    def test_flag_reaches_config_from_run_config(self):
+        cfg = CodonGPTConfig.from_run_config(
+            {"vocab_size": 68, "block_size": 32, "pad_vocab_lanes": True}
+        )
+        assert cfg.pad_vocab_lanes is True
+        assert CodonGPTConfig.from_run_config(
+            {"vocab_size": 68, "block_size": 32}
+        ).pad_vocab_lanes is False
