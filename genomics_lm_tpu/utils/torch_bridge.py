@@ -231,11 +231,109 @@ def jax_params_to_torch(params: dict, cfg: CodonGPTConfig, model=None):
     return model
 
 
+# --- protein-stack transplant -------------------------------------------------
+
+
+def _t(tensor):
+    import numpy as np
+
+    return np.asarray(tensor.detach().cpu(), dtype=np.float32)
+
+
+def protein_backbone_torch_to_jax(state: dict, n_layer: int,
+                                  prefix: str = "") -> dict:
+    """torch ``ProteinConditionalTransformer`` state → repo backbone params.
+
+    The reference stacks ``nn.TransformerEncoderLayer`` (post-LN, GELU,
+    packed QKV in ``self_attn.in_proj_weight`` rows [q; k; v]); this repo's
+    functional blocks store separate q/k/v ``{"w" (in,out), "b"}`` linears
+    (``models/protein.py:98-135``). ``prefix`` handles nesting ("" for the
+    LM itself, "backbone." inside the classifiers/critic)."""
+    g = lambda name: _t(state[prefix + name])
+    D = g("token_embedding.weight").shape[1]
+    blocks = []
+    for i in range(n_layer):
+        b = f"transformer_blocks.{i}."
+        w_in = g(b + "self_attn.in_proj_weight")  # (3D, D)
+        b_in = g(b + "self_attn.in_proj_bias")    # (3D,)
+        blocks.append({
+            "attn": {
+                "query": {"w": w_in[0:D].T, "b": b_in[0:D]},
+                "key": {"w": w_in[D:2 * D].T, "b": b_in[D:2 * D]},
+                "value": {"w": w_in[2 * D:3 * D].T, "b": b_in[2 * D:3 * D]},
+                "out": {"w": g(b + "self_attn.out_proj.weight").T,
+                        "b": g(b + "self_attn.out_proj.bias")},
+            },
+            "ln1": {"scale": g(b + "norm1.weight"), "bias": g(b + "norm1.bias")},
+            "ff": {
+                "w1": {"w": g(b + "linear1.weight").T, "b": g(b + "linear1.bias")},
+                "w2": {"w": g(b + "linear2.weight").T, "b": g(b + "linear2.bias")},
+            },
+            "ln2": {"scale": g(b + "norm2.weight"), "bias": g(b + "norm2.bias")},
+        })
+    return {
+        "token_embedding": g("token_embedding.weight"),
+        "position_embedding": g("position_embedding.weight"),
+        "blocks": blocks,
+        "layer_norm": {"scale": g("layer_norm.weight"),
+                       "bias": g("layer_norm.bias")},
+    }
+
+
+def protein_lm_torch_to_jax(state: dict, n_layer: int) -> dict:
+    params = protein_backbone_torch_to_jax(state, n_layer)
+    params["output_head"] = {"w": _t(state["output_head.weight"]).T}
+    return params
+
+
+def protein_classifier_torch_to_jax(state: dict, n_layer: int) -> dict:
+    return {
+        "backbone": protein_backbone_torch_to_jax(state, n_layer, "backbone."),
+        "classification_head": {
+            "w": _t(state["classification_head.weight"]).T,
+            "b": _t(state["classification_head.bias"]),
+        },
+    }
+
+
+def protein_multitask_torch_to_jax(state: dict, n_layer: int,
+                                   task_names: list[str]) -> dict:
+    """torch ``MultiTaskProteinClassifier`` state → repo multitask params
+    (backbone + optional attention pooler + shared latent + task heads)."""
+    params = {
+        "backbone": protein_backbone_torch_to_jax(state, n_layer, "backbone."),
+        "shared_latent": {
+            "fc": {"w": _t(state["shared_latent.0.weight"]).T,
+                   "b": _t(state["shared_latent.0.bias"])},
+            "ln": {"scale": _t(state["shared_latent.1.weight"]),
+                   "bias": _t(state["shared_latent.1.bias"])},
+        },
+        "heads": {
+            name: {"w": _t(state[f"heads.{name}.weight"]).T,
+                   "b": _t(state[f"heads.{name}.bias"])}
+            for name in task_names
+        },
+    }
+    if "pooler.query" in state:
+        params["pooler"] = {
+            "query": _t(state["pooler.query"]),
+            "key_proj": {"w": _t(state["pooler.key_proj.weight"]).T,
+                         "b": _t(state["pooler.key_proj.bias"])},
+            "value_proj": {"w": _t(state["pooler.value_proj.weight"]).T,
+                           "b": _t(state["pooler.value_proj.bias"])},
+        }
+    return params
+
+
 __all__ = [
     "REFERENCE_ROOT_ENV",
     "build_reference_model",
     "jax_params_to_torch",
     "load_reference_model_module",
+    "protein_backbone_torch_to_jax",
+    "protein_classifier_torch_to_jax",
+    "protein_lm_torch_to_jax",
+    "protein_multitask_torch_to_jax",
     "reference_available",
     "reference_root",
     "torch_state_to_jax",

@@ -90,6 +90,9 @@ def main(argv=None) -> int:
                     help="also run the open-loop Poisson latency protocol "
                          "(req/s) with and without speculation, reporting "
                          "TTFT/ITL percentiles for both")
+    ap.add_argument("--steps_per_sync", type=int, default=16,
+                    help="decode rounds per dispatched serving chunk (longer "
+                         "chunks amortize the relay round trip)")
     ap.add_argument("--repeats", type=int, default=5,
                     help="median-of-N serving drains (drain absolutes swing "
                          "+-20%% on the relayed runtime)")
@@ -201,7 +204,8 @@ def main(argv=None) -> int:
             return ServingEngine(
                 params, cfg, slots=args.batch_size,
                 max_seq_len=args.prefill_len + args.decode_tokens,
-                kv_quant=args.kv_quant, steps_per_sync=16, seed=7, **kw)
+                kv_quant=args.kv_quant, steps_per_sync=args.steps_per_sync,
+                seed=7, **kw)
 
         def drain(spec: bool) -> float:
             def once(n):
