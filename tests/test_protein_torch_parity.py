@@ -144,3 +144,73 @@ class TestMultiTaskCriticParity:
             params, cfg, jnp.asarray(ids), attention_mask=jnp.asarray(mask)
         ))
         np.testing.assert_allclose(mine, ref_z, atol=ATOL, rtol=0)
+
+
+class TestEBMParity:
+    def test_energy_matches(self):
+        from src.protein_lm.ebm import ProteinLatentEBM as TorchEBM
+
+        torch.manual_seed(14)
+        ref = TorchEBM(n_embd=32, hidden_dim=48).eval()
+        state = ref.state_dict()
+        t = lambda k: np.asarray(state[k].detach(), dtype=np.float32)
+        params = {
+            "fc1": {"w": t("net.0.weight").T, "b": t("net.0.bias")},
+            "fc2": {"w": t("net.3.weight").T, "b": t("net.3.bias")},
+            "fc3": {"w": t("net.6.weight").T, "b": t("net.6.bias")},
+        }
+        z = np.random.default_rng(2).normal(size=(5, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_e = ref(torch.from_numpy(z)).numpy()
+        mine = np.asarray(jp.ebm_energy(params, jnp.asarray(z)))
+        np.testing.assert_allclose(mine, ref_e, atol=ATOL, rtol=0)
+        # the 3-D mean-pool path too
+        z3 = np.random.default_rng(3).normal(size=(2, 7, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref_e3 = ref(torch.from_numpy(z3)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(jp.ebm_energy(params, jnp.asarray(z3))), ref_e3,
+            atol=ATOL, rtol=0)
+
+
+class TestBiophysicsEncoderParity:
+    def test_cnn_encoder_matches(self):
+        """Reference NucleotideEncoder (1D CNN, stride-3 codon alignment)
+        transplanted into the repo's conv path. The reference module
+        imports scripts.probe_structural_awareness at module scope (used
+        only by its data generator, not the encoder); satisfy it with
+        this repo's parity implementation of the same pentamer tables."""
+        import types
+
+        if "scripts.probe_structural_awareness" not in sys.modules:
+            from genomics_lm_tpu.models.biophysics import get_theoretical_shape
+
+            stub = types.ModuleType("scripts.probe_structural_awareness")
+            stub.get_theoretical_shape = get_theoretical_shape
+            sys.modules["scripts.probe_structural_awareness"] = stub
+        import importlib.util as ilu
+        from pathlib import Path
+
+        path = Path(_REF) / "src" / "codonlm" / "biophysics.py"
+        spec = ilu.spec_from_file_location("_ref_biophysics", path)
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        from genomics_lm_tpu.models import biophysics as jb
+
+        torch.manual_seed(15)
+        ref = mod.NucleotideEncoder(d_shape=3).eval()
+        state = ref.state_dict()
+        t = lambda k: np.asarray(state[k].detach(), dtype=np.float32)
+        params = {
+            "conv1": {"w": t("net.0.weight"), "b": t("net.0.bias")},
+            "conv2": {"w": t("net.2.weight"), "b": t("net.2.bias")},
+        }
+        one_hot = np.zeros((2, 30, 4), np.float32)
+        rng = np.random.default_rng(4)
+        for b in range(2):
+            one_hot[b, np.arange(30), rng.integers(0, 4, 30)] = 1.0
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(one_hot)).numpy()
+        mine = np.asarray(jb.encode(params, jnp.asarray(one_hot)))
+        np.testing.assert_allclose(mine, ref_out, atol=ATOL, rtol=0)
