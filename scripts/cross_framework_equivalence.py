@@ -321,8 +321,16 @@ def unified_eval(ref_out: dict, repo_out: dict, dataset_dir: Path,
 
 
 def run_equivalence(args) -> dict:
+    import jax
+
     from genomics_lm_tpu.models.config import CodonGPTConfig
     from genomics_lm_tpu.utils.torch_bridge import reference_root
+
+    # the repo side may run on any backend (TPU included — the gate then
+    # additionally proves cross-HARDWARE equivalence vs the torch-CPU
+    # reference); pin full-f32 matmuls so TPU fp32 doesn't silently drop
+    # to bf16 passes and eat the 0.5% budget
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     workdir = Path(args.workdir)
     if workdir.exists() and args.fresh:

@@ -9,10 +9,15 @@ import json
 from pathlib import Path
 
 
-def test_recorded_full_scale_report_passes_gates():
-    path = Path(__file__).resolve().parent.parent / (
-        "docs/benchmarks/cross_framework_equivalence.json"
-    )
+import pytest
+
+
+@pytest.mark.parametrize("artifact", [
+    "docs/benchmarks/cross_framework_equivalence.json",
+    "docs/benchmarks/cross_framework_equivalence_d384_tpu.json",
+])
+def test_recorded_full_scale_report_passes_gates(artifact):
+    path = Path(__file__).resolve().parent.parent / artifact
     report = json.loads(path.read_text())
     assert report["all_gates_pass"]
     assert all(report["gates"].values()), report["gates"]
