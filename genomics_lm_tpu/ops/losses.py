@@ -38,6 +38,30 @@ def cross_entropy(
     targets) composes with ``ignore_index`` — both exclude positions from
     numerator and denominator.
     """
+    numer, denom = cross_entropy_parts(
+        logits, targets, ignore_index=ignore_index,
+        label_smoothing=label_smoothing, weight=weight, valid_mask=valid_mask,
+    )
+    return numer / jnp.maximum(denom, 1e-12)
+
+
+def cross_entropy_parts(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    *,
+    ignore_index: int | None = PAD_ID,
+    label_smoothing: float = 0.0,
+    weight: jnp.ndarray | None = None,
+    valid_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(numerator, denominator) of the weighted-mean cross-entropy.
+
+    The decomposed form of :func:`cross_entropy`: summing the parts over
+    microbatches/shards and dividing once reproduces the whole-batch mean
+    exactly (mean-of-means does not, when pad counts differ per shard).
+    Used by the pipeline-parallel schedule (`parallel/pipeline.py`), whose
+    per-tick losses must accumulate without changing the reduction.
+    """
     C = logits.shape[-1]
     logits = logits.astype(jnp.float32).reshape(-1, C)
     targets = targets.reshape(-1)
@@ -82,7 +106,7 @@ def cross_entropy(
     else:
         denom = jnp.sum(valid.astype(jnp.float32))
     numer = jnp.sum(jnp.where(valid, loss * w, 0.0))
-    return numer / jnp.maximum(denom, 1e-12)
+    return numer, denom
 
 
 def offset_target_mask(
@@ -209,6 +233,7 @@ __all__ = [
     "DEFAULT_BOUNDARY_IDS",
     "PAD_ID",
     "cross_entropy",
+    "cross_entropy_parts",
     "multi_offset_lm_loss",
     "offset_target_mask",
     "termination_aux_loss",

@@ -12,6 +12,14 @@ from genomics_lm_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     local_device_count,
 )
+from genomics_lm_tpu.parallel.pipeline import (  # noqa: F401
+    PIPE_AXIS,
+    make_pipeline_train_step,
+    merge_stage_params,
+    pipeline_loss,
+    split_stage_params,
+    stage_param_sharding,
+)
 from genomics_lm_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     opt_state_sharding,

@@ -1,0 +1,257 @@
+"""GPipe-style pipeline parallelism over a ``pipe`` mesh axis.
+
+The reference is strictly single-device (SURVEY.md §2.6), so — like the
+tensor-parallel layer — this is TPU-native scaling headroom with no
+reference analog: depth sharding for models whose layer stack outgrows
+one chip's HBM, composable with the existing data axis (DP/ZeRO-1) and
+usable where the layer count, not the weight width, is the memory bound.
+
+Design (SPMD collective pipelining, the shard_map idiom):
+
+- The model's blocks already live as a stacked pytree with a leading
+  ``n_layer`` axis (``models/codon_gpt.py:init``). :func:`split_stage_params`
+  reshapes that axis to ``(n_stages, layers_per_stage)`` and the leading
+  axis is sharded over the ``pipe`` mesh axis — each device holds its own
+  stage's contiguous block slice. Embedding/head/ln_f stay replicated
+  (at 68-token vocab they are a rounding error next to one block).
+- :func:`pipeline_loss` runs the classic GPipe schedule as ONE jitted
+  SPMD program: ``n_microbatches + n_stages - 1`` ticks scanned with
+  ``lax.scan``; at every tick each stage applies its local blocks to its
+  in-flight microbatch, then the activations rotate one stage to the
+  right via ``jax.lax.ppermute`` — a neighbour-only ICI transfer, never
+  a broadcast. Stage 0 injects ``embed(microbatch[t])``; the last stage
+  accumulates the CE numerator/denominator of microbatch ``t - (S-1)``.
+  Bubble fraction is the textbook ``(S-1)/(M+S-1)``.
+- The loss accumulates :func:`ops.losses.cross_entropy_parts` so the
+  final division reproduces the whole-batch weighted-mean CE exactly —
+  training under PP is bit-compatible (fp32 reduction order aside) with
+  the single-device objective (``/root/reference/src/codonlm/
+  model_tiny_gpt.py:343-349`` semantics).
+- Reverse-mode AD differentiates straight through ``shard_map`` +
+  ``ppermute`` (the transpose of a rotation is the reverse rotation), so
+  ``jax.grad`` of :func:`pipeline_loss` yields the 1F1B-equivalent
+  backward schedule without hand-written backward plumbing; replicated
+  parameters' cotangents are psum'ed across stages by the shard_map
+  transpose rule.
+
+Every stage traces the embed/head computation and masks the result by
+stage id (SPMD programs are identical across devices); both are tiny
+next to a block stack — the waste is ``O(B·T·(d + vocab))`` FLOPs versus
+``O(B·T·d²·layers_per_stage)`` of useful work per tick.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
+from genomics_lm_tpu.ops.losses import cross_entropy_parts
+from genomics_lm_tpu.ops.masks import segment_ids_from_tokens
+from genomics_lm_tpu.parallel.mesh import DATA_AXIS
+
+PIPE_AXIS = "pipe"
+
+
+def split_stage_params(params: dict, n_stages: int) -> dict:
+    """Reshape the stacked block axis (n_layer, …) → (n_stages, Lps, …).
+
+    Non-block entries (embeddings, ln_f, head, aux heads) pass through
+    untouched; shard the result's ``blocks`` leading axis over ``pipe``.
+    """
+    out = dict(params)
+    blocks = params["blocks"]
+
+    def reshape(leaf):
+        n_layer = leaf.shape[0]
+        if n_layer % n_stages:
+            raise ValueError(
+                f"n_layer={n_layer} not divisible by n_stages={n_stages}")
+        return leaf.reshape(n_stages, n_layer // n_stages, *leaf.shape[1:])
+
+    out["blocks"] = jax.tree.map(reshape, blocks)
+    return out
+
+
+def merge_stage_params(params: dict) -> dict:
+    """Inverse of :func:`split_stage_params` (for checkpoint interop)."""
+    out = dict(params)
+    out["blocks"] = jax.tree.map(
+        lambda leaf: leaf.reshape(-1, *leaf.shape[2:]), params["blocks"])
+    return out
+
+
+def stage_param_sharding(mesh: Mesh, params: dict) -> Any:
+    """NamedSharding pytree: blocks split over ``pipe``, rest replicated."""
+    rep = NamedSharding(mesh, P())
+    shardings = jax.tree.map(lambda _: rep, params)
+    shardings["blocks"] = jax.tree.map(
+        lambda _: NamedSharding(mesh, P(PIPE_AXIS)), params["blocks"])
+    return shardings
+
+
+def _stage_forward(blocks_stage, params_rest, cfg: CodonGPTConfig, x,
+                   segment_ids, rope_cache):
+    """Apply this stage's block stack to x — mirrors ``_run_blocks``."""
+    def body(h, block_p):
+        h = codon_gpt._block_apply(
+            block_p, h, cfg,
+            segment_ids=segment_ids,
+            attention_window=None,
+            rope_cache=rope_cache,
+            train=False,
+            rng=None,
+        )
+        return h, None
+
+    if cfg.use_checkpoint:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, blocks_stage)
+    return x
+
+
+def _pipeline_shard_fn(params, Xm, Ym, cfg: CodonGPTConfig, n_stages: int,
+                       has_data_axis: bool):
+    """Per-device body (runs under shard_map over ('data'?, 'pipe'))."""
+    sid = jax.lax.axis_index(PIPE_AXIS)
+    # local block stack: leading pipe-shard axis is 1 wide on-device
+    blocks_local = jax.tree.map(lambda b: b[0], params["blocks"])
+    M, mb, T = Xm.shape
+    S = n_stages
+    rope_cache = (
+        codon_gpt.rope_cos_sin(T, cfg.head_dim, cfg.rope_base, cfg.dtype)
+        if cfg.use_rope else None
+    )
+    weight = (
+        None if cfg.uniform_loss_weights
+        else jnp.asarray(cfg.loss_weights, jnp.float32)
+    )
+
+    def tick(carry, t):
+        h_prev, numer, denom = carry
+        m = jnp.clip(t - sid, 0, M - 1)       # this stage's microbatch index
+        active = (t - sid >= 0) & (t - sid < M)
+        xb = jax.lax.dynamic_index_in_dim(Xm, m, 0, keepdims=False)
+        seg = (
+            segment_ids_from_tokens(xb, cfg.sep_id)
+            if cfg.sep_id is not None else None
+        )
+        # stage 0 injects the embedded microbatch; others consume the ring
+        x0 = codon_gpt._embed(params, cfg, xb, None, train=False, rng=None)
+        x0 = codon_gpt._constrain_residual(x0, cfg)
+        x_in = jnp.where(sid == 0, x0.astype(cfg.dtype), h_prev)
+        h_out = _stage_forward(blocks_local, params, cfg, x_in, seg, rope_cache)
+
+        # last stage: ln_f + head + CE parts of its (t - S + 1) microbatch
+        yb = jax.lax.dynamic_index_in_dim(Ym, m, 0, keepdims=False)
+        xf = codon_gpt._layer_norm(params["ln_f"], h_out)
+        logits = codon_gpt._lm_logits(params, cfg, xf)
+        n_part, d_part = cross_entropy_parts(
+            logits, yb, ignore_index=0,
+            label_smoothing=cfg.label_smoothing, weight=weight,
+        )
+        take = active & (sid == S - 1)
+        numer = numer + jnp.where(take, n_part, 0.0)
+        denom = denom + jnp.where(take, d_part, 0.0)
+
+        h_next = jax.lax.ppermute(
+            h_out, PIPE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+        return (h_next, numer, denom), None
+
+    h0 = jnp.zeros((mb, T, cfg.n_embd), cfg.dtype)
+    (_, numer, denom), _ = jax.lax.scan(
+        tick, (h0, jnp.float32(0.0), jnp.float32(0.0)),
+        jnp.arange(M + S - 1))
+    numer = jax.lax.psum(numer, PIPE_AXIS)
+    denom = jax.lax.psum(denom, PIPE_AXIS)
+    if has_data_axis:
+        numer = jax.lax.psum(numer, DATA_AXIS)
+        denom = jax.lax.psum(denom, DATA_AXIS)
+    return numer / jnp.maximum(denom, 1e-12)
+
+
+def pipeline_loss(
+    params: dict,
+    cfg: CodonGPTConfig,
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    n_microbatches: int,
+) -> jnp.ndarray:
+    """Whole-batch CE loss under the GPipe schedule (differentiable).
+
+    ``params`` must be stage-split (:func:`split_stage_params`) and laid
+    out per :func:`stage_param_sharding`. X/Y are the global (B, T)
+    batch; B must divide into ``n_microbatches`` (times the data-axis
+    size when the mesh has one). Returns the scalar whole-batch mean CE —
+    identical reduction to ``codon_gpt.forward``'s loss.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    has_data = DATA_AXIS in mesh.shape
+    B, T = X.shape
+    M = int(n_microbatches)
+    dp = mesh.shape[DATA_AXIS] if has_data else 1
+    if B % (M * dp):
+        raise ValueError(f"batch {B} not divisible by {M} microbatches × dp {dp}")
+    # (B, T) → (M, mb·dp, T); the data axis shards the microbatch dim
+    Xm = X.reshape(M, B // M, T)
+    Ym = Y.reshape(M, B // M, T)
+
+    data_spec = P(None, DATA_AXIS, None) if has_data else P(None, None, None)
+    in_specs = (
+        stage_param_specs(params),
+        data_spec,
+        data_spec,
+    )
+    fn = jax.shard_map(
+        functools.partial(_pipeline_shard_fn, cfg=cfg, n_stages=n_stages,
+                          has_data_axis=has_data),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(params, Xm, Ym)
+
+
+def stage_param_specs(params: dict) -> Any:
+    """PartitionSpec pytree matching :func:`stage_param_sharding`."""
+    specs = jax.tree.map(lambda _: P(), params)
+    specs["blocks"] = jax.tree.map(lambda _: P(PIPE_AXIS), params["blocks"])
+    return specs
+
+
+def make_pipeline_train_step(cfg: CodonGPTConfig, mesh: Mesh,
+                             n_microbatches: int, optimizer):
+    """(params, opt_state, X, Y) → (params, opt_state, loss) under PP.
+
+    ``optimizer`` is any optax GradientTransformation; its state follows
+    the parameter shardings (stage-sharded for blocks). jit with
+    donate_argnums on (params, opt_state) for in-place updates.
+    """
+    import optax
+
+    def step(params, opt_state, X, Y):
+        loss, grads = jax.value_and_grad(pipeline_loss)(
+            params, cfg, X, Y, mesh=mesh, n_microbatches=n_microbatches)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+__all__ = [
+    "PIPE_AXIS",
+    "make_pipeline_train_step",
+    "merge_stage_params",
+    "pipeline_loss",
+    "split_stage_params",
+    "stage_param_sharding",
+    "stage_param_specs",
+]
