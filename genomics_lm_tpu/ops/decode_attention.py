@@ -49,6 +49,7 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from genomics_lm_tpu.ops.attention import NEG_INF
 
@@ -209,6 +210,201 @@ def decode_attention(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, Hq, P), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hq, P), jnp.float32),
+        interpret=bool(interpret),
+    )(*args)
+    return extract_heads(out, Hkv)
+
+
+_STREAM_VMEM_BUDGET = 8 * 1024 * 1024
+"""Bytes allowed for the streamed kernel's 2-slot K+V VMEM ring.
+
+The Mosaic scoped-VMEM limit is 16 MB and the ring shares it with the
+(bb, Hq, P) f32 accumulator + output, the routed query, the mask row and
+compiler temporaries — a 12 MB ring measured 19.0 MB total and OOM'd at
+compile; 8 MB leaves the headroom the rest needs (bb=16 bf16 / 32 int8
+at sb=128, P=384)."""
+
+
+def _largest_divisor(n: int, cap: int, mult: int) -> int:
+    """Largest divisor of ``n`` that is ≤ cap and a multiple of ``mult``.
+
+    Falls back to ``n`` itself when no such divisor exists (tiny or odd
+    axes — the whole axis then runs as one block)."""
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0 and d % mult == 0:
+            return d
+    return n
+
+
+def _pick_stream_blocks(
+    B: int, S: int, P: int, esize: int,
+    block_b: int | None, block_s: int | None,
+) -> tuple[int, int]:
+    """(bb, sb) for the streamed kernel under the VMEM ring budget.
+
+    The whole point of the streamed variant is FEW programs (per-program
+    launch overhead was the measured residual at large batch — see the
+    module docstring), so sb stays at one 128-lane chunk and bb takes
+    every byte the ring budget allows. sb MUST be a multiple of 128 on
+    hardware: the kernel's mask/scale loads slice their LANE dimension at
+    ``sj*sb``, and Mosaic only admits dynamic lane offsets it can prove
+    are 128-multiples (cache capacities are 128-bucketed, so S % 128 == 0
+    in practice; smaller S runs as one chunk). 2 slots × (K+V) × bb × sb
+    × P × esize must fit the ring budget."""
+    bb_pref = block_b or int(os.environ.get("GLMTPU_DECODE_STREAM_BB", "0"))
+    sb_pref = block_s or int(os.environ.get("GLMTPU_DECODE_STREAM_BS", "0"))
+    sb = sb_pref or (128 if S % 128 == 0 else S)
+    if not bb_pref:
+        bb_pref = max(8, _STREAM_VMEM_BUDGET // (4 * sb * P * esize))
+    bb = _largest_divisor(B, min(bb_pref, B), 8)
+    return bb, sb
+
+
+def decode_attention_streamed(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    mask_add: jnp.ndarray,
+    layer: int,
+    k_scale: jnp.ndarray | None = None,
+    v_scale: jnp.ndarray | None = None,
+    *,
+    kv_heads: int | None = None,
+    block_b: int | None = None,
+    block_s: int | None = None,
+    interpret: bool | None = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Decode attention with a manually streamed cache (online softmax).
+
+    Same contract as :func:`decode_attention`. The blocked kernel above
+    binds batch-block size to VMEM residency of the full (bb, S, P) cache
+    slab, which forces bb=8 and pays per-program launch overhead ~32×
+    per layer at b256 (docs/BENCHMARKS.md "Packed-lane cache": 2.31
+    ms/step against a ~0.63 ms DMA floor). Here the caches stay in HBM
+    (``pl.ANY``); each program covers a LARGE batch block and streams
+    (bb, sb, P) S-chunks through a 2-slot VMEM ring with double-buffered
+    async DMA, accumulating softmax online (flash-style m/l/acc carry,
+    same recurrence as ``flash_attention._fwd_kernel``). Program count
+    per layer drops from B/8 to B/bb (e.g. 4 at b256), while VMEM stays
+    bounded by the ring budget, not by S.
+    """
+    B, Hq, D = q.shape
+    S = k_cache.shape[2]
+    quant = k_scale is not None
+    if kv_heads is None:
+        kv_heads = k_scale.shape[2] if quant else Hq
+    Hkv = kv_heads
+    if Hq % Hkv != 0:
+        raise ValueError("n_head must be divisible by n_kv_head for GQA")
+    G = Hq // Hkv
+    P = Hkv * D
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    esize = jnp.dtype(k_cache.dtype).itemsize
+    bb, sb = _pick_stream_blocks(B, S, P, esize, block_b, block_s)
+    ns = S // sb
+    inv_sqrt_d = 1.0 / float(D) ** 0.5
+    layer = int(layer)
+
+    qmat = pack_query(q.astype(compute_dtype), Hkv)  # (B, P, Hq)
+
+    def kernel(*refs):
+        if quant:
+            (q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, o_ref,
+             k_buf, v_buf, sem) = refs
+        else:
+            q_ref, k_ref, v_ref, mask_ref, o_ref, k_buf, v_buf, sem = refs
+        i = pl.program_id(0)
+        b0 = i * bb
+        qh = q_ref[...].astype(compute_dtype)          # (bb, P, Hq)
+
+        def chunk_dmas(slot, sj):
+            src = lambda ref: ref.at[layer, pl.ds(b0, bb), pl.ds(sj * sb, sb), :]
+            return (
+                pltpu.make_async_copy(src(k_ref), k_buf.at[slot], sem.at[slot, 0]),
+                pltpu.make_async_copy(src(v_ref), v_buf.at[slot], sem.at[slot, 1]),
+            )
+
+        for dma in chunk_dmas(0, 0):
+            dma.start()
+
+        def body(sj, carry):
+            acc, m, l = carry
+            slot = jax.lax.rem(sj, 2)
+
+            @pl.when(sj + 1 < ns)
+            def _():
+                for dma in chunk_dmas(jax.lax.rem(sj + 1, 2), sj + 1):
+                    dma.start()
+
+            for dma in chunk_dmas(slot, sj):
+                dma.wait()
+            kh = k_buf[slot].astype(compute_dtype)      # (bb, sb, P)
+            vh = v_buf[slot].astype(compute_dtype)
+
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * inv_sqrt_d                              # (bb, Hq, sb)
+            if quant:
+                ks = ks_ref[0, :, :, pl.ds(sj * sb, sb)]  # (bb, Hkv, sb)
+                if G > 1:
+                    ks = jnp.repeat(ks, G, axis=1)
+                s = s * ks
+            mrow = mask_ref[:, pl.ds(sj * sb, sb)]      # (bb, sb)
+            s = s + mrow[:, None, :]
+            live = (mrow > 0.5 * NEG_INF)[:, None, :]
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            p = jnp.where(live, p, 0.0)                 # all-masked chunk ⇒ 0
+            alpha = jnp.exp(m - m_new)
+            l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            if quant:
+                vs = vs_ref[0, :, :, pl.ds(sj * sb, sb)]
+                if G > 1:
+                    vs = jnp.repeat(vs, G, axis=1)
+                p = p * vs
+            pv = jax.lax.dot_general(
+                p.astype(compute_dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                           # (bb, Hq, P)
+            return acc * alpha + pv, m_new, l_new
+
+        acc0 = jnp.zeros((bb, Hq, P), jnp.float32)
+        m0 = jnp.full((bb, Hq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bb, Hq, 1), jnp.float32)
+        acc, _, l = jax.lax.fori_loop(0, ns, body, (acc0, m0, l0))
+        o_ref[...] = acc / jnp.maximum(l, 1e-30)
+
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [
+        pl.BlockSpec((bb, P, Hq), lambda i: (i, 0, 0)),
+        hbm_spec,
+        hbm_spec,
+    ]
+    args = [qmat, k_cache, v_cache]
+    if quant:
+        scale_spec = pl.BlockSpec((1, bb, Hkv, S), lambda i: (layer, i, 0, 0))
+        in_specs += [scale_spec, scale_spec]
+        args += [k_scale, v_scale]
+    in_specs.append(pl.BlockSpec((bb, S), lambda i: (i, 0)))
+    args.append(mask_add.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, Hq, P), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, P), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, bb, sb, P), k_cache.dtype),
+            pltpu.VMEM((2, bb, sb, P), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         interpret=bool(interpret),
     )(*args)
     return extract_heads(out, Hkv)
@@ -436,6 +632,7 @@ __all__ = [
     "NEG_INF",
     "decode_attention",
     "decode_attention_chunk",
+    "decode_attention_streamed",
     "decode_attention_chunk_xla",
     "decode_attention_xla",
     "extract_heads",

@@ -18,6 +18,7 @@ from genomics_lm_tpu.models import CodonGPTConfig, codon_gpt
 from genomics_lm_tpu.generation.decode import generate_tokens, prefill, decode_step
 from genomics_lm_tpu.ops.decode_attention import (
     decode_attention,
+    decode_attention_streamed,
     decode_attention_xla,
 )
 from genomics_lm_tpu.ops.quant import quantize_kv
@@ -92,6 +93,72 @@ class TestKernelParity:
         got = decode_attention(q, k, v, mask, 0, kv_heads=Hkv, interpret=True)
         want = v[0, :, 7, :].reshape(B, Hkv, D)
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+class TestStreamedKernel:
+    """decode_attention_streamed: online-softmax + DMA ring vs einsum."""
+
+    def test_fp_gqa_blocks_match_xla(self):
+        rng = np.random.default_rng(11)
+        L, B, Hkv, S, D, G = 2, 8, 2, 64, 48, 2
+        k, v = _rand_cache(rng, L, B, Hkv, S, D)
+        q = jnp.asarray(rng.normal(size=(B, Hkv * G, D)), jnp.float32)
+        mask = np.zeros((B, S), np.float32)
+        mask[:, 50:] = -1e30
+        mask[1, 5:50] = -1e30
+        mask[2, :32] = -1e30  # first stream chunk fully masked (bs=32):
+        # the online-softmax m=-inf edge must contribute exactly zero
+        mask = jnp.asarray(mask)
+        want = decode_attention_xla(q, k, v, mask, 1, kv_heads=Hkv)
+        for bs in (None, 32, 16):
+            got = decode_attention_streamed(
+                q, k, v, mask, 1, kv_heads=Hkv, interpret=True, block_s=bs
+            )
+            np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_int8_matches_xla(self):
+        rng = np.random.default_rng(12)
+        L, B, Hkv, S, D = 2, 8, 4, 64, 48
+        kh = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+        vh = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+        kq, ks = quantize_kv(kh)
+        vq, vs = quantize_kv(vh)
+        pack = lambda a: a.transpose(0, 1, 3, 2, 4).reshape(L, B, S, Hkv * D)
+        kq, vq = pack(kq), pack(vq)
+        q = jnp.asarray(rng.normal(size=(B, Hkv * 2, D)), jnp.float32)
+        mask = jnp.where(jnp.arange(S)[None, :] < 40, 0.0, -1e30).astype(
+            jnp.float32
+        ) * jnp.ones((B, 1))
+        got = decode_attention_streamed(
+            q, kq, vq, mask, 0, ks, vs, interpret=True, block_s=32
+        )
+        want = decode_attention_xla(q, kq, vq, mask, 0, ks, vs)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_odd_batch_falls_back_to_full_axis(self):
+        # B=5 has no 8-multiple divisor → one whole-batch program
+        rng = np.random.default_rng(13)
+        L, B, Hkv, S, D = 1, 5, 2, 64, 48
+        k, v = _rand_cache(rng, L, B, Hkv, S, D)
+        q = jnp.asarray(rng.normal(size=(B, Hkv, D)), jnp.float32)
+        mask = jnp.zeros((B, S), jnp.float32)
+        got = decode_attention_streamed(
+            q, k, v, mask, 0, kv_heads=Hkv, interpret=True, block_s=32
+        )
+        want = decode_attention_xla(q, k, v, mask, 0, kv_heads=Hkv)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_block_pick_respects_budget(self):
+        from genomics_lm_tpu.ops.decode_attention import (
+            _STREAM_VMEM_BUDGET, _pick_stream_blocks)
+
+        for B, S, P, esize in [(256, 256, 384, 2), (256, 512, 384, 1),
+                               (64, 128, 512, 2), (8, 64, 96, 4)]:
+            bb, sb = _pick_stream_blocks(B, S, P, esize, None, None)
+            assert B % bb == 0 and S % sb == 0
+            # hardware contract: dynamic lane slices need 128-multiples
+            assert sb % 128 == 0 or sb == S
+            assert 4 * bb * sb * P * esize <= _STREAM_VMEM_BUDGET or bb == 8
 
 
 class TestEndToEnd:
