@@ -57,15 +57,30 @@ from genomics_lm_tpu.parallel.mesh import DATA_AXIS
 PIPE_AXIS = "pipe"
 
 
+def _map_block_leaves(tree, fn):
+    """Apply ``fn`` to every leaf that lives under a ``blocks`` dict key.
+
+    Works on the params dict AND on any params-shaped subtree inside an
+    optax state (mu/nu mirror the params tree paths), which is what makes
+    pipeline checkpoints layout-neutral: the same transform converts the
+    whole optimizer state between stacked and stage-split layouts.
+    """
+    def visit(path, leaf):
+        under_blocks = any(
+            getattr(p, "key", None) == "blocks" for p in path)
+        return fn(leaf) if under_blocks else leaf
+
+    return jax.tree_util.tree_map_with_path(visit, tree)
+
+
 def split_stage_params(params: dict, n_stages: int) -> dict:
-    """Reshape the stacked block axis (n_layer, …) → (n_stages, Lps, …).
+    """Reshape every stacked block axis (n_layer, …) → (n_stages, Lps, …).
 
     Non-block entries (embeddings, ln_f, head, aux heads) pass through
-    untouched; shard the result's ``blocks`` leading axis over ``pipe``.
+    untouched; shard the result's ``blocks`` leading axes over ``pipe``.
+    Accepts the params dict or an optax state containing params-shaped
+    subtrees (checkpoint/resume interop).
     """
-    out = dict(params)
-    blocks = params["blocks"]
-
     def reshape(leaf):
         n_layer = leaf.shape[0]
         if n_layer % n_stages:
@@ -73,25 +88,27 @@ def split_stage_params(params: dict, n_stages: int) -> dict:
                 f"n_layer={n_layer} not divisible by n_stages={n_stages}")
         return leaf.reshape(n_stages, n_layer // n_stages, *leaf.shape[1:])
 
-    out["blocks"] = jax.tree.map(reshape, blocks)
-    return out
+    return _map_block_leaves(params, reshape)
 
 
 def merge_stage_params(params: dict) -> dict:
-    """Inverse of :func:`split_stage_params` (for checkpoint interop)."""
-    out = dict(params)
-    out["blocks"] = jax.tree.map(
-        lambda leaf: leaf.reshape(-1, *leaf.shape[2:]), params["blocks"])
-    return out
+    """Inverse of :func:`split_stage_params` (for checkpoint interop).
+
+    Checkpoints always store the merged (single-device) layout, so a
+    pipeline run's artifacts transplant/evaluate/resume anywhere —
+    including resuming under a different stage count.
+    """
+    return _map_block_leaves(
+        params, lambda leaf: leaf.reshape(-1, *leaf.shape[2:]))
 
 
-def stage_param_sharding(mesh: Mesh, params: dict) -> Any:
-    """NamedSharding pytree: blocks split over ``pipe``, rest replicated."""
+def stage_param_sharding(mesh: Mesh, tree: Any) -> Any:
+    """NamedSharding pytree: block leaves split over ``pipe``, rest
+    replicated. Accepts the params dict or a stage-split optax state."""
     rep = NamedSharding(mesh, P())
-    shardings = jax.tree.map(lambda _: rep, params)
-    shardings["blocks"] = jax.tree.map(
-        lambda _: NamedSharding(mesh, P(PIPE_AXIS)), params["blocks"])
-    return shardings
+    piped = NamedSharding(mesh, P(PIPE_AXIS))
+    return _map_block_leaves(
+        jax.tree.map(lambda _: rep, tree), lambda _: piped)
 
 
 def _stage_forward(blocks_stage, params_rest, cfg: CodonGPTConfig, x,
