@@ -168,3 +168,97 @@ class TestPipelineGrad:
         _, loss_plain, _ = codon_gpt.forward(merged, cfg, X, Y, return_aux=True)
         step2 = pipeline_loss(staged, cfg, X, Y, mesh=mesh, n_microbatches=4)
         np.testing.assert_allclose(float(loss_plain), float(step2), rtol=1e-5)
+
+
+class TestCheckpointLayoutInterop:
+    """split/merge work on optax states too — pipeline checkpoints are
+    layout-neutral (store merged; resume under any stage count)."""
+
+    def test_optax_state_split_merge_roundtrip(self):
+        cfg = _cfg()
+        params = codon_gpt.init(jax.random.PRNGKey(8), cfg)
+        opt = optax.adamw(1e-2)
+        state_merged = opt.init(params)
+
+        state_staged = split_stage_params(state_merged, 4)
+        # params-shaped subtrees (mu/nu) gained the stage axis...
+        mu = state_staged[0].mu["blocks"]
+        L = cfg.n_layer
+        for leaf in jax.tree.leaves(mu):
+            assert leaf.shape[:2] == (4, L // 4)
+        # ...scalars (count) and non-block leaves passed through untouched
+        assert state_staged[0].count.shape == state_merged[0].count.shape
+        np.testing.assert_array_equal(
+            state_staged[0].mu["tok_emb"], state_merged[0].mu["tok_emb"])
+
+        back = jax.device_get(merge_stage_params(state_staged))
+        jax.tree.map(np.testing.assert_array_equal,
+                     jax.device_get(state_merged), back)
+
+    def test_stage_param_sharding_accepts_optax_state(self):
+        cfg = _cfg()
+        params = codon_gpt.init(jax.random.PRNGKey(9), cfg)
+        mesh = make_mesh(4, axes={PIPE_AXIS: 4})
+        staged_params = split_stage_params(params, 4)
+        state = optax.adamw(1e-2).init(staged_params)
+        sharded = jax.device_put(state, stage_param_sharding(mesh, state))
+        mu_leaf = jax.tree.leaves(sharded[0].mu["blocks"])[0]
+        assert len(mu_leaf.sharding.device_set) == 4      # split over pipe
+        assert len(sharded[0].count.sharding.device_set) == 4  # replicated
+
+    def _run(self, cfg, opt, X, Y, n_stages, n_steps, params, opt_state=None):
+        mesh = make_mesh(n_stages, axes={PIPE_AXIS: n_stages})
+        staged = split_stage_params(params, n_stages)
+        staged = jax.device_put(staged, stage_param_sharding(mesh, staged))
+        if opt_state is None:
+            opt_state = opt.init(staged)
+        else:
+            opt_state = split_stage_params(opt_state, n_stages)
+            opt_state = jax.device_put(
+                opt_state, stage_param_sharding(mesh, opt_state))
+        step = jax.jit(make_pipeline_train_step(cfg, mesh, 4, opt))
+        for _ in range(n_steps):
+            staged, opt_state, _ = step(staged, opt_state, X, Y)
+        return (merge_stage_params(jax.device_get(staged)),
+                merge_stage_params(jax.device_get(opt_state)))
+
+    @staticmethod
+    def _assert_trees(got, want, **tol):
+        got_map = {jax.tree_util.keystr(k): v for k, v in
+                   jax.tree_util.tree_flatten_with_path(got)[0]}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(want)[0]:
+            key = jax.tree_util.keystr(path)
+            np.testing.assert_allclose(
+                np.asarray(got_map[key]), np.asarray(leaf),
+                err_msg=key, **tol)
+
+    def test_resume_same_stage_count_is_bit_identical(self):
+        """checkpoint (merged layout) after 2 steps at S=4, resume at S=4
+        for 2 more == uninterrupted 4 steps, bit for bit (adamw)."""
+        cfg = _cfg()
+        rng = np.random.default_rng(10)
+        X, Y = _batch(rng, 8, cfg.block_size)
+        params0 = codon_gpt.init(jax.random.PRNGKey(10), cfg)
+        opt = optax.adamw(1e-2)
+        p_mid, s_mid = self._run(cfg, opt, X, Y, 4, 2, params0)
+        p_resumed, _ = self._run(cfg, opt, X, Y, 4, 2, p_mid, opt_state=s_mid)
+        p_straight, _ = self._run(cfg, opt, X, Y, 4, 4, params0)
+        self._assert_trees(p_resumed, p_straight, atol=0.0, rtol=0.0)
+
+    def test_resume_under_different_stage_count(self):
+        """Train 2 steps at S=4, checkpoint merged, resume at S=2 for 2
+        more; final params match an uninterrupted 4-step S=2 run.
+
+        SGD keeps updates linear in the gradients, so the only divergence
+        between stage counts is the GPipe psum reduction order (~fp32
+        epsilon) — unlike adamw, whose sqrt/eps normalization amplifies
+        that noise over steps into the 1e-3 range."""
+        cfg = _cfg()
+        rng = np.random.default_rng(10)
+        X, Y = _batch(rng, 8, cfg.block_size)
+        params0 = codon_gpt.init(jax.random.PRNGKey(10), cfg)
+        opt = optax.sgd(0.1)
+        p_mid, s_mid = self._run(cfg, opt, X, Y, 4, 2, params0)
+        p_resumed, _ = self._run(cfg, opt, X, Y, 2, 2, p_mid, opt_state=s_mid)
+        p_straight, _ = self._run(cfg, opt, X, Y, 2, 4, params0)
+        self._assert_trees(p_resumed, p_straight, atol=1e-6, rtol=1e-5)
