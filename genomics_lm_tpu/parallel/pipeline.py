@@ -112,26 +112,36 @@ def stage_param_sharding(mesh: Mesh, tree: Any) -> Any:
 
 
 def _stage_forward(blocks_stage, params_rest, cfg: CodonGPTConfig, x,
-                   segment_ids, rope_cache):
-    """Apply this stage's block stack to x — mirrors ``_run_blocks``."""
-    def body(h, block_p):
+                   segment_ids, rope_cache, rng=None):
+    """Apply this stage's block stack to x — mirrors ``_run_blocks``.
+
+    ``rng`` enables train-mode dropout: one fold per local layer (dropout
+    needs per-layer independence, not any cross-layout reproducibility).
+    """
+    train = rng is not None
+    n_local = jax.tree.leaves(blocks_stage)[0].shape[0]
+
+    def body(h, layer_in):
+        block_p, layer_rng = layer_in if train else (layer_in, None)
         h = codon_gpt._block_apply(
             block_p, h, cfg,
             segment_ids=segment_ids,
             attention_window=None,
             rope_cache=rope_cache,
-            train=False,
-            rng=None,
+            train=train,
+            rng=layer_rng,
         )
         return h, None
 
     if cfg.use_checkpoint:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, blocks_stage)
+    xs = (blocks_stage, jax.random.split(rng, n_local)) if train else blocks_stage
+    x, _ = jax.lax.scan(body, x, xs)
     return x
 
 
-def _pipeline_shard_fn(params, Xm, Ym, cfg: CodonGPTConfig, n_stages: int,
+def _pipeline_shard_fn(params, Xm, Ym, train_rng=None, *,
+                       cfg: CodonGPTConfig, n_stages: int,
                        has_data_axis: bool):
     """Per-device body (runs under shard_map over ('data'?, 'pipe'))."""
     sid = jax.lax.axis_index(PIPE_AXIS)
@@ -157,11 +167,21 @@ def _pipeline_shard_fn(params, Xm, Ym, cfg: CodonGPTConfig, n_stages: int,
             segment_ids_from_tokens(xb, cfg.sep_id)
             if cfg.sep_id is not None else None
         )
+        # per-(stage, tick) dropout keys — unique per (microbatch, stage)
+        if train_rng is not None:
+            tick_rng = jax.random.fold_in(
+                jax.random.fold_in(train_rng, sid), t)
+            embed_rng = jax.random.fold_in(tick_rng, 0)
+            stage_rng = jax.random.fold_in(tick_rng, 1)
+        else:
+            embed_rng = stage_rng = None
         # stage 0 injects the embedded microbatch; others consume the ring
-        x0 = codon_gpt._embed(params, cfg, xb, None, train=False, rng=None)
+        x0 = codon_gpt._embed(params, cfg, xb, None,
+                              train=train_rng is not None, rng=embed_rng)
         x0 = codon_gpt._constrain_residual(x0, cfg)
         x_in = jnp.where(sid == 0, x0.astype(cfg.dtype), h_prev)
-        h_out = _stage_forward(blocks_local, params, cfg, x_in, seg, rope_cache)
+        h_out = _stage_forward(blocks_local, params, cfg, x_in, seg,
+                               rope_cache, rng=stage_rng)
 
         # last stage: ln_f + head + CE parts of its (t - S + 1) microbatch
         yb = jax.lax.dynamic_index_in_dim(Ym, m, 0, keepdims=False)
@@ -199,6 +219,7 @@ def pipeline_loss(
     *,
     mesh: Mesh,
     n_microbatches: int,
+    train_rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Whole-batch CE loss under the GPipe schedule (differentiable).
 
@@ -206,7 +227,8 @@ def pipeline_loss(
     out per :func:`stage_param_sharding`. X/Y are the global (B, T)
     batch; B must divide into ``n_microbatches`` (times the data-axis
     size when the mesh has one). Returns the scalar whole-batch mean CE —
-    identical reduction to ``codon_gpt.forward``'s loss.
+    identical reduction to ``codon_gpt.forward``'s loss. ``train_rng``
+    switches the forward to train mode (dropout active).
     """
     n_stages = mesh.shape[PIPE_AXIS]
     has_data = DATA_AXIS in mesh.shape
@@ -225,6 +247,8 @@ def pipeline_loss(
         data_spec,
         data_spec,
     )
+    if train_rng is not None:
+        in_specs = in_specs + (P(),)      # rng key replicated
     fn = jax.shard_map(
         functools.partial(_pipeline_shard_fn, cfg=cfg, n_stages=n_stages,
                           has_data_axis=has_data),
@@ -233,6 +257,8 @@ def pipeline_loss(
         out_specs=P(),
         check_vma=False,
     )
+    if train_rng is not None:
+        return fn(params, Xm, Ym, train_rng)
     return fn(params, Xm, Ym)
 
 
@@ -263,8 +289,105 @@ def make_pipeline_train_step(cfg: CodonGPTConfig, mesh: Mesh,
     return step
 
 
+def make_pipeline_group_step(cfg: CodonGPTConfig, tx, mesh: Mesh):
+    """Production-trainer group step (``training/loop.py`` contract) under PP.
+
+    Signature matches ``train_step.make_train_step``'s returned function::
+
+        new_params, new_opt_state, metrics = step(
+            params, opt_state, batch, rng, lr_scale)
+
+    ``batch['x']/['y']`` are (G, B, T); the accumulation group is consumed
+    as ONE GPipe run with M=G microbatches, committing the exact
+    token-weighted whole-group CE — the full-batch objective itself rather
+    than grad accumulation's mean-of-microbatch-means approximation of it.
+    Dropout follows ``cfg.dropout`` via the step rng. Aux losses are not
+    supported here; ``run_training`` fails closed before selecting this
+    step. Nonfinite handling is group-granular (GPipe has no per-microbatch
+    commit point): any nonfinite loss/grad skips the whole update, matching
+    the trainer's abort-discards-the-group semantics.
+    """
+    import optax
+
+    def step(params, opt_state, batch, rng, lr_scale):
+        x, y = batch["x"], batch["y"]
+        G, B, T = x.shape
+        X = x.reshape(G * B, T)
+        Y = y.reshape(G * B, T)
+        train_rng = rng if cfg.dropout > 0.0 else None
+        loss, grads = jax.value_and_grad(pipeline_loss)(
+            params, cfg, X, Y, mesh=mesh, n_microbatches=G,
+            train_rng=train_rng)
+        grads_finite = jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+        group_ok = jnp.isfinite(loss) & grads_finite
+
+        def apply_update(_):
+            updates, new_opt = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            return optax.apply_updates(params, updates), new_opt
+
+        new_params, new_opt_state = jax.lax.cond(
+            group_ok, apply_update, lambda _: (params, opt_state), None)
+
+        ok_f = group_ok.astype(jnp.float32)
+        ok_i = group_ok.astype(jnp.int32)
+        committed = jnp.int32(G) * ok_i
+        metrics = {
+            "applied": group_ok,
+            "saw_nonfinite": ~group_ok,
+            "finite_microbatches": committed,
+            "committed_microbatches": committed,
+            # the whole-group objective has no per-microbatch commit point
+            "discarded_before_nonfinite": jnp.int32(0),
+            "first_loss": loss,
+            "total_loss_sum": loss * jnp.float32(G) * ok_f,
+            "next_loss_sum": loss * jnp.float32(G) * ok_f,
+            "nonpad_tokens": jnp.sum(Y != 0).astype(jnp.int32) * ok_i,
+        }
+        return new_params, new_opt_state, metrics
+
+    return jax.jit(step)
+
+
+def make_pipeline_eval_step(cfg: CodonGPTConfig, mesh: Mesh):
+    """Validation step (``train_step.make_eval_step`` contract) under PP.
+
+    Pads the batch up to a multiple of n_stages × dp with PAD-target rows
+    — exact: rows whose targets are all PAD contribute zero CE numerator
+    and denominator, and the token counts are computed on the padded
+    targets (still PAD). Returns the token-weighted batch CE for both
+    loss fields; ``next_loss_token_sum`` is therefore the exact corpus CE
+    sum the trainer's perplexity accounting expects.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    quantum = n_stages * dp
+
+    def step(params, xb, yb):
+        pad = (-xb.shape[0]) % quantum
+        if pad:
+            xb = jnp.concatenate(
+                [xb, jnp.zeros((pad, xb.shape[1]), xb.dtype)])
+            yb = jnp.concatenate(
+                [yb, jnp.zeros((pad, yb.shape[1]), yb.dtype)])
+        loss = pipeline_loss(
+            params, cfg, xb, yb, mesh=mesh, n_microbatches=n_stages)
+        nonpad = jnp.sum(yb != 0)
+        return {
+            "total_loss": loss,
+            "next_loss": loss,
+            "nonpad_tokens": nonpad.astype(jnp.int32),
+            "next_loss_token_sum": loss * nonpad.astype(jnp.float32),
+        }
+
+    return jax.jit(step)
+
+
 __all__ = [
     "PIPE_AXIS",
+    "make_pipeline_eval_step",
+    "make_pipeline_group_step",
     "make_pipeline_train_step",
     "merge_stage_params",
     "pipeline_loss",

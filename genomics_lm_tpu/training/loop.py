@@ -372,15 +372,19 @@ def run_training(
 
     # --- mesh / sharding -----------------------------------------------------
     put_batch = jnp.asarray
+    pipeline = False
+    stage_put = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_dp = mesh.shape["data"]
+        pipeline = mesh.shape.get("pipe", 1) > 1
+        n_dp = mesh.shape.get("data", 1)
         if batch_size % n_dp:
             raise ValueError(
                 f"batch_size {batch_size} must divide over {n_dp} data-parallel devices"
             )
-        group_sharding = NamedSharding(mesh, P(None, "data", None))
+        batch_spec = P(None, "data", None) if "data" in mesh.shape else P()
+        group_sharding = NamedSharding(mesh, batch_spec)
         rep = NamedSharding(mesh, P())
         from genomics_lm_tpu.parallel.sharding import (
             opt_state_sharding,
@@ -389,7 +393,40 @@ def run_training(
         )
 
         tensor_parallel = mesh.shape.get("model", 1) > 1
-        if tensor_parallel:
+        if pipeline:
+            # GPipe depth sharding over the 'pipe' axis. The pipeline step
+            # commits the plain next-token CE only — every other objective
+            # fails closed rather than silently training without it.
+            unsupported = [
+                name for name, on in (
+                    ("tensor_parallel", tensor_parallel),
+                    ("multi_offset_loss", bool(multi_offset_weights)),
+                    ("termination_loss", loss_cfg.termination_enabled),
+                    ("replay_loss", loss_cfg.replay_enabled),
+                    ("shape_guidance", model_cfg.use_shape_guidance),
+                    ("shard_optimizer_state",
+                     bool(cfg.get("shard_optimizer_state", False))),
+                ) if on
+            ]
+            if unsupported:
+                raise ValueError(
+                    "pipeline parallelism supports the plain next-token CE "
+                    f"objective only; disable: {unsupported}"
+                )
+            from genomics_lm_tpu.parallel.pipeline import (
+                split_stage_params,
+                stage_param_sharding,
+            )
+
+            def stage_put(tree):  # merged host layout → staged on-mesh
+                staged = split_stage_params(tree, mesh.shape["pipe"])
+                return jax.device_put(
+                    staged, stage_param_sharding(mesh, staged))
+
+            param_sharding = rep  # non-block leaves; blocks handled by stage_put
+            params = stage_put(params)
+            opt_state = stage_put(opt_state)
+        elif tensor_parallel:
             # Megatron-style column/row weight splits over the model axis;
             # GSPMD inserts the attention-proj / MLP-down all-reduces.
             param_sharding = tp_param_sharding(params, mesh)
@@ -412,11 +449,21 @@ def run_training(
         def put_batch(arr):  # noqa: F811
             return jax.device_put(jnp.asarray(arr), group_sharding)
 
-    train_step = make_train_step(
-        model_cfg, loss_cfg, bundle.tx, use_replay=loss_cfg.replay_enabled,
-        shape_lookup=shape_lookup,
-    )
-    eval_step = make_eval_step(model_cfg, loss_cfg, shape_lookup=shape_lookup)
+    if pipeline:
+        from genomics_lm_tpu.parallel.pipeline import (
+            make_pipeline_eval_step,
+            make_pipeline_group_step,
+            merge_stage_params,
+        )
+
+        train_step = make_pipeline_group_step(model_cfg, bundle.tx, mesh)
+        eval_step = make_pipeline_eval_step(model_cfg, mesh)
+    else:
+        train_step = make_train_step(
+            model_cfg, loss_cfg, bundle.tx, use_replay=loss_cfg.replay_enabled,
+            shape_lookup=shape_lookup,
+        )
+        eval_step = make_eval_step(model_cfg, loss_cfg, shape_lookup=shape_lookup)
 
     # --- resume --------------------------------------------------------------
     start_epoch = 0
@@ -442,17 +489,22 @@ def run_training(
             [jnp.asarray(x) for x in jax.tree.leaves(payload["optimizer"])],
         )
         if mesh is not None:
-            params = jax.device_put(params, param_sharding)
-            if tensor_parallel:
-                opt_state = jax.device_put(
-                    opt_state,
-                    opt_state_sharding(
-                        opt_state, mesh, tp_axis="model",
-                        zero1=bool(cfg.get("shard_optimizer_state", False)),
-                    ),
-                )
-            elif bool(cfg.get("shard_optimizer_state", False)):
-                opt_state = jax.device_put(opt_state, zero1_opt_state_sharding(opt_state, mesh))
+            if pipeline:
+                # checkpoints always store the merged (single-device) layout
+                params = stage_put(params)
+                opt_state = stage_put(opt_state)
+            else:
+                params = jax.device_put(params, param_sharding)
+                if tensor_parallel:
+                    opt_state = jax.device_put(
+                        opt_state,
+                        opt_state_sharding(
+                            opt_state, mesh, tp_axis="model",
+                            zero1=bool(cfg.get("shard_optimizer_state", False)),
+                        ),
+                    )
+                elif bool(cfg.get("shard_optimizer_state", False)):
+                    opt_state = jax.device_put(opt_state, zero1_opt_state_sharding(opt_state, mesh))
         step = int(payload["step"])
         start_epoch = int(payload["run_progress"]["completed_epochs"])
         best = float(payload.get("best_val", float("inf")))
@@ -488,12 +540,21 @@ def run_training(
     current_epoch_idx = start_epoch
     current_resume_microbatch_idx = resume_microbatch_idx
 
+    def host_layout(tree):
+        """Host-side, checkpoint-layout copy: PP stage splits are merged so
+        artifacts transplant/evaluate/resume anywhere (incl. a different
+        stage count — see parallel/pipeline.py merge_stage_params)."""
+        tree = jax.device_get(tree)
+        if pipeline:
+            tree = merge_stage_params(tree)
+        return jax.tree.map(np.asarray, tree)
+
     def make_checkpoint_payload(epoch_idx: int, **metrics) -> dict:
         val_loss = metrics.get("val_loss", float("inf"))
         epoch_complete = val_loss != float("inf")
         payload = {
-            "model": jax.tree.map(np.asarray, params),
-            "optimizer": jax.tree.map(np.asarray, opt_state),
+            "model": host_layout(params),
+            "optimizer": host_layout(opt_state),
             "scheduler": bundle.plateau.state_dict() if bundle.plateau else None,
             "cfg": {k: v for k, v in cfg.items() if _jsonable(v)},
             "epoch": epoch_idx if epoch_complete else max(0, epoch_idx - 1),

@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     ap.add_argument("--tensor_parallel", type=int, default=None,
                     help="model-axis size; devices form a (data, model) mesh "
                          "with Megatron-style weight sharding")
+    ap.add_argument("--pipeline_stages", type=int, default=None,
+                    help="pipe-axis size; devices form a (data, pipe) mesh "
+                         "with GPipe depth sharding (plain CE objective only)")
     args = ap.parse_args(argv)
 
     from genomics_lm_tpu.training.config import load_yaml_config
@@ -58,13 +61,22 @@ def main(argv=None) -> int:
     mesh = None
     n_mesh = args.mesh_devices or cfg.get("mesh_devices")
     tp = args.tensor_parallel or cfg.get("tensor_parallel")
-    if n_mesh or tp:
+    pp = args.pipeline_stages or cfg.get("pipeline_stages")
+    if tp and int(tp) > 1 and pp and int(pp) > 1:
+        raise SystemExit(
+            "tensor_parallel and pipeline_stages are mutually exclusive")
+    if n_mesh or tp or pp:
         from genomics_lm_tpu.parallel.mesh import make_mesh
 
         if tp and int(tp) > 1:
             mesh = make_mesh(
                 int(n_mesh) if n_mesh else None,
                 axes={"data": -1, "model": int(tp)},
+            )
+        elif pp and int(pp) > 1:
+            mesh = make_mesh(
+                int(n_mesh) if n_mesh else None,
+                axes={"data": -1, "pipe": int(pp)},
             )
         else:
             mesh = make_mesh(int(n_mesh))

@@ -262,3 +262,98 @@ class TestCheckpointLayoutInterop:
         p_resumed, _ = self._run(cfg, opt, X, Y, 2, 2, p_mid, opt_state=s_mid)
         p_straight, _ = self._run(cfg, opt, X, Y, 2, 4, params0)
         self._assert_trees(p_resumed, p_straight, atol=1e-6, rtol=1e-5)
+
+
+class TestTrainerUnderPipeline:
+    """run_training with a (data, pipe) mesh: the production-trainer PP path
+    (training/loop.py) — fail-closed objective gate, merged-layout
+    checkpoints, resume, and single-device equivalence at G=1."""
+
+    @staticmethod
+    def _fixture(tmp_path, n_train=32, n_val=8, block=16):
+        rng = np.random.default_rng(0)
+        for name, n in [("train", n_train), ("val", n_val)]:
+            X = rng.integers(4, 68, (n, block)).astype(np.int32)
+            Y = np.roll(X, -1, axis=1)
+            Y[:, -1] = 0
+            np.savez(tmp_path / f"{name}.npz", X=X, Y=Y)
+        from genomics_lm_tpu.tokenizers.codon import write_itos
+        write_itos(tmp_path / "itos.txt")
+
+    @staticmethod
+    def _cfg(tmp_path, **kw):
+        cfg = dict(
+            train_npz=str(tmp_path / "train.npz"),
+            val_npz=str(tmp_path / "val.npz"),
+            block_size=16, n_layer=4, n_head=2, n_embd=16,
+            dropout=0.0, batch_size=8, grad_accum_steps=2,
+            lr=1e-3, min_lr=1e-4, warmup_steps=2, epochs=2,
+            seed=1337, run_id="pp-run", early_stop_patience=0,
+        )
+        cfg.update(kw)
+        return cfg
+
+    def test_train_resume_and_merged_checkpoints(self, tmp_path):
+        from genomics_lm_tpu.training import checkpoints as ckpt_lib
+        from genomics_lm_tpu.training.loop import run_training
+
+        self._fixture(tmp_path)
+        mesh = make_mesh(4, axes={"data": 2, PIPE_AXIS: 2})
+        cfg = self._cfg(tmp_path, dropout=0.1)  # exercises the PP dropout path
+        meta = run_training(cfg, run_root=str(tmp_path / "runs"), mesh=mesh)
+        assert meta["status"] == "completed"
+        run_dir = tmp_path / "runs" / "pp-run"
+
+        payload = ckpt_lib.load_checkpoint(run_dir / "checkpoints" / "last.npz")
+        # checkpoint stores the MERGED layout: blocks lead with n_layer,
+        # not (n_stages, layers_per_stage)
+        for leaf in jax.tree.leaves(payload["model"]["blocks"]):
+            assert leaf.shape[0] == cfg["n_layer"]
+        # ... and is directly evaluable by the plain single-device forward
+        m_cfg = CodonGPTConfig(
+            vocab_size=68, block_size=16, n_layer=4, n_head=2, n_embd=16,
+            dropout=0.0)
+        params = jax.tree.map(jnp.asarray, payload["model"])
+        X = jnp.asarray(
+            np.load(tmp_path / "val.npz")["X"][:4], jnp.int32)
+        Y = jnp.asarray(
+            np.load(tmp_path / "val.npz")["Y"][:4], jnp.int32)
+        _, loss, _ = codon_gpt.forward(params, m_cfg, X, Y, return_aux=True)
+        assert np.isfinite(float(loss))
+
+        # resume continues under the mesh (checkpoint → re-staged)
+        cfg3 = dict(cfg, epochs=3)
+        meta2 = run_training(
+            cfg3, run_root=str(tmp_path / "runs"),
+            resume=str(run_dir / "checkpoints" / "last.npz"), mesh=mesh)
+        assert meta2["status"] == "completed"
+        curves = (run_dir / "scores" / "curves.csv").read_text().splitlines()
+        assert len(curves) == 4  # header + 3 epochs
+
+    def test_fails_closed_on_unsupported_objectives(self, tmp_path):
+        from genomics_lm_tpu.training.loop import run_training
+
+        self._fixture(tmp_path)
+        mesh = make_mesh(4, axes={"data": 2, PIPE_AXIS: 2})
+        cfg = self._cfg(
+            tmp_path, termination_loss_enabled=True, run_id="pp-term")
+        with pytest.raises(ValueError, match="plain next-token CE"):
+            run_training(cfg, run_root=str(tmp_path / "runs"), mesh=mesh)
+
+    def test_matches_single_device_trainer_at_g1(self, tmp_path):
+        """grad_accum 1, dropout 0: the PP group step commits the identical
+        whole-batch objective, so the two trainers' curves agree (adamw
+        amplifies fp reduction-order differences, hence the loose-but-tight
+        tolerance over 8 steps)."""
+        from genomics_lm_tpu.training.loop import run_training
+
+        self._fixture(tmp_path)
+        cfg = self._cfg(tmp_path, grad_accum_steps=1, run_id="pp-eq")
+        mesh = make_mesh(4, axes={"data": 2, PIPE_AXIS: 2})
+        meta_pp = run_training(
+            dict(cfg), run_root=str(tmp_path / "runs_pp"), mesh=mesh)
+        meta_sd = run_training(
+            dict(cfg), run_root=str(tmp_path / "runs_sd"), mesh=None)
+        for key in ("last_val_loss", "best_val_loss"):
+            a, b = float(meta_pp[key]), float(meta_sd[key])
+            np.testing.assert_allclose(a, b, rtol=5e-3, err_msg=key)
