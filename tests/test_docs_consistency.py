@@ -46,3 +46,37 @@ class TestScriptSurface:
         cited = set(re.findall(r"`([a-z0-9_]+\.py)`", section))
         missing = sorted(n for n in cited if n not in have)
         assert not missing, f"SURVEY §2.5 scripts missing: {missing}"
+
+
+class TestCoverageCitations:
+    def test_cited_test_files_and_names_exist(self):
+        """Every `test_*.py` / `test_*.py::Name` citation in the docs must
+        point at a real file (and a real class/function in it). Guards
+        against the silent-staleness mode where a test file is renamed or
+        clobbered by a same-named new file (happened to test_pipeline.py:
+        the data-pipeline e2e tests vanished for two commits)."""
+        import re
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        tests_dir = repo / "tests"
+        problems = []
+        for doc in sorted((repo / "docs").glob("*.md")):
+            for m in re.finditer(
+                r"`(test_\w+\.py)(?:::(\w+))?`", doc.read_text()
+            ):
+                fname, member = m.group(1), m.group(2)
+                # reference-parity scripts are also named test_*.py
+                path = tests_dir / fname
+                if not path.exists() and (repo / "scripts" / fname).exists():
+                    path = repo / "scripts" / fname
+                if not path.exists():
+                    problems.append(f"{doc.name}: {fname} does not exist")
+                    continue
+                if member and not re.search(
+                    rf"^(class {member}\b|\s*def {member}\b)",
+                    path.read_text(), re.MULTILINE,
+                ):
+                    problems.append(
+                        f"{doc.name}: {fname}::{member} not found in file")
+        assert not problems, "\n".join(problems)
