@@ -357,3 +357,27 @@ class TestTrainerUnderPipeline:
         for key in ("last_val_loss", "best_val_loss"):
             a, b = float(meta_pp[key]), float(meta_sd[key])
             np.testing.assert_allclose(a, b, rtol=5e-3, err_msg=key)
+
+
+class TestPipelineEvalStep:
+    def test_pad_rows_are_exact(self):
+        """B=6 on a quantum-4 mesh pads 2 PAD-target rows; the returned
+        token-weighted CE must equal the plain forward on the 6 real rows."""
+        from genomics_lm_tpu.parallel.pipeline import make_pipeline_eval_step
+
+        cfg = _cfg()
+        rng = np.random.default_rng(11)
+        X, Y = _batch(rng, 6, cfg.block_size)
+        params = codon_gpt.init(jax.random.PRNGKey(11), cfg)
+        _, want, _ = codon_gpt.forward(params, cfg, X, Y, return_aux=True)
+
+        mesh = make_mesh(4, axes={"data": 2, PIPE_AXIS: 2})
+        staged = split_stage_params(params, 2)
+        staged = jax.device_put(staged, stage_param_sharding(mesh, staged))
+        out = make_pipeline_eval_step(cfg, mesh)(staged, X, Y)
+        np.testing.assert_allclose(
+            float(out["next_loss"]), float(want), rtol=1e-5)
+        assert int(out["nonpad_tokens"]) == int(np.sum(np.asarray(Y) != 0))
+        np.testing.assert_allclose(
+            float(out["next_loss_token_sum"]),
+            float(want) * int(out["nonpad_tokens"]), rtol=1e-5)
