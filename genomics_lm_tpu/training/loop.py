@@ -458,6 +458,12 @@ def run_training(
 
         train_step = make_pipeline_group_step(model_cfg, bundle.tx, mesh)
         eval_step = make_pipeline_eval_step(model_cfg, mesh)
+        print(
+            f"[mesh] pipeline: pipe={mesh.shape['pipe']} "
+            f"data={mesh.shape.get('data', 1)} "
+            f"layers_per_stage={model_cfg.n_layer // mesh.shape['pipe']} "
+            f"microbatches_per_group={gacc}"
+        )
     else:
         train_step = make_train_step(
             model_cfg, loss_cfg, bundle.tx, use_replay=loss_cfg.replay_enabled,
