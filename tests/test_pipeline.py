@@ -381,3 +381,21 @@ class TestPipelineEvalStep:
         np.testing.assert_allclose(
             float(out["next_loss_token_sum"]),
             float(want) * int(out["nonpad_tokens"]), rtol=1e-5)
+
+
+class TestArchitectureToggles:
+    def test_rope_swiglu_gqa_parity(self):
+        """The stage forward must reproduce every architecture variant the
+        stacked model supports — RoPE cache construction, SwiGLU MLPs, and
+        GQA head grouping all live inside _block_apply, so the GPipe
+        schedule inherits them; this locks that in."""
+        cfg = _cfg(use_rope=True, use_swiglu=True, n_kv_head=1)
+        rng = np.random.default_rng(12)
+        X, Y = _batch(rng, 8, cfg.block_size)
+        params = codon_gpt.init(jax.random.PRNGKey(12), cfg)
+        _, want, _ = codon_gpt.forward(params, cfg, X, Y, return_aux=True)
+        mesh = make_mesh(4, axes={PIPE_AXIS: 4})
+        staged = split_stage_params(params, 4)
+        staged = jax.device_put(staged, stage_param_sharding(mesh, staged))
+        got = pipeline_loss(staged, cfg, X, Y, mesh=mesh, n_microbatches=4)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
