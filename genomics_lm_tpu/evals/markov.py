@@ -4,29 +4,48 @@ Parity: reference ``scripts/eval_ppl_baselines.py`` — additive-smoothed
 uniform / unigram / bigram / trigram baselines over (X, Y) packs, PAD
 targets skipped, active vocabulary = vocab minus PAD, trigram history reset
 across <SEP> boundaries, trigram backoff to the bigram context when unseen.
+
+Unlike the reference's per-token Python loop, this implementation is
+table-driven and vectorized: each (X, Y) row is turned into flat
+``(prev2, prev, target)`` context arrays once, counting is a ``bincount``
+over packed context keys into dense ``V``/``V²``/``V³`` tables, and
+evaluation gathers smoothed probabilities for whole rows at a time. The
+smoothing math — ``(count + α) / (total_over_non_PAD + α·(V−1))`` with the
+trigram falling back to its bigram context when the trigram context never
+occurred in training — is identical.
 """
 
 from __future__ import annotations
 
 import math
-from collections import defaultdict
 
 import numpy as np
 
 PAD_ID = 0
 MODEL_NAMES = ("Uniform", "Unigram", "Bigram", "Trigram")
 
+# Tokens accumulated before a chunked bincount drain during fitting; bounds
+# the size of the temporary key arrays without a Python-level token loop.
+_FIT_CHUNK_TOKENS = 1 << 20
 
-def _iter_examples(xs: np.ndarray, ys: np.ndarray):
+
+def _row_contexts(xs, ys, reset_token_ids):
+    """Yield per-row ``(prev2, prev, target)`` arrays for non-PAD targets.
+
+    ``prev`` is the conditioning token x[t]; ``prev2`` is x[t-1], forced to
+    PAD at position 0 and wherever x[t] is a reset token (the trigram
+    history restart at <SEP> boundaries).
+    """
+    reset = np.asarray(sorted(reset_token_ids), dtype=np.int64)
     for x, y in zip(xs, ys):
-        yield np.asarray(x), np.asarray(y)
-
-
-def _previous2(x: np.ndarray, position: int, reset_token_ids: frozenset) -> int:
-    previous = int(x[position])
-    if position == 0 or previous in reset_token_ids:
-        return PAD_ID
-    return int(x[position - 1])
+        prev = np.asarray(x, dtype=np.int64).ravel()
+        target = np.asarray(y, dtype=np.int64).ravel()
+        prev2 = np.concatenate(([PAD_ID], prev[:-1]))
+        if reset.size:
+            prev2 = np.where(np.isin(prev, reset), PAD_ID, prev2)
+        keep = target != PAD_ID
+        if keep.any():
+            yield prev2[keep], prev[keep], target[keep]
 
 
 def fit_baselines(
@@ -37,30 +56,75 @@ def fit_baselines(
     *,
     reset_token_ids: frozenset = frozenset(),
 ):
-    """Count-based (unigram, bigram, trigram) models over non-PAD targets."""
+    """Count-based (unigram, bigram, trigram) models over non-PAD targets.
+
+    Returns ``(unigram_counts, bigram, trigram)`` where ``bigram`` maps
+    ``prev -> count row`` and ``trigram`` maps ``(prev2, prev) -> count
+    row`` — only contexts that actually occurred carry an entry, mirroring
+    the sparse structure evaluation's backoff test relies on.
+    """
     if alpha <= 0:
         raise ValueError("alpha must be positive")
-    unigram = np.zeros(vocab_size, dtype=np.int64)
-    bigram: dict = defaultdict(lambda: np.zeros(vocab_size, dtype=np.int64))
-    trigram: dict = defaultdict(lambda: np.zeros(vocab_size, dtype=np.int64))
-    for x, y in _iter_examples(xs, ys):
-        for position, (previous, target) in enumerate(zip(x, y)):
-            previous, target = int(previous), int(target)
-            if target == PAD_ID:
-                continue
-            unigram[target] += 1
-            bigram[previous][target] += 1
-            previous2 = _previous2(x, position, reset_token_ids)
-            trigram[(previous2, previous)][target] += 1
-    if int(unigram.sum()) == 0:
+    V = int(vocab_size)
+    uni_table = np.zeros(V, dtype=np.int64)
+    bi_table = np.zeros(V * V, dtype=np.int64)
+    tri_table = np.zeros(V * V * V, dtype=np.int64)
+
+    pending: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    pending_tokens = 0
+
+    def _drain() -> None:
+        nonlocal pending, pending_tokens
+        if not pending:
+            return
+        prev2 = np.concatenate([p2 for p2, _, _ in pending])
+        prev = np.concatenate([p for _, p, _ in pending])
+        target = np.concatenate([t for _, _, t in pending])
+        uni_table[:] += np.bincount(target, minlength=V)
+        bi_table[:] += np.bincount(prev * V + target, minlength=V * V)
+        tri_table[:] += np.bincount(
+            (prev2 * V + prev) * V + target, minlength=V * V * V
+        )
+        pending, pending_tokens = [], 0
+
+    for triple in _row_contexts(xs, ys, reset_token_ids):
+        pending.append(triple)
+        pending_tokens += triple[2].size
+        if pending_tokens >= _FIT_CHUNK_TOKENS:
+            _drain()
+    _drain()
+
+    if int(uni_table.sum()) == 0:
         raise ValueError("training dataset has no evaluable non-PAD targets")
-    return unigram, dict(bigram), dict(trigram)
+
+    bi_table = bi_table.reshape(V, V)
+    tri_table = tri_table.reshape(V * V, V)
+    bigram = {
+        int(p): bi_table[p] for p in np.flatnonzero(bi_table.sum(axis=1))
+    }
+    trigram = {
+        (int(key // V), int(key % V)): tri_table[key]
+        for key in np.flatnonzero(tri_table.sum(axis=1))
+    }
+    return uni_table, bigram, trigram
 
 
-def _probability(counts, target: int, alpha: float, active_size: int) -> float:
-    total = float(np.asarray(counts)[1:].sum()) if counts is not None else 0.0
-    count = float(counts[target]) if counts is not None else 0.0
-    return (count + alpha) / (total + alpha * active_size)
+def _dense_tables(counts, vocab_size: int):
+    """Expand the sparse fitted counts into dense float lookup tables.
+
+    Totals sum only non-PAD target columns (column 0 is never incremented
+    during fitting, so this matches the reference's ``counts[1:].sum()``).
+    """
+    unigram, bigram, trigram = counts
+    V = vocab_size
+    uni = np.asarray(unigram, dtype=np.float64)
+    bi = np.zeros((V, V), dtype=np.float64)
+    for prev, row in bigram.items():
+        bi[int(prev)] = row
+    tri = np.zeros((V * V, V), dtype=np.float64)
+    for (prev2, prev), row in trigram.items():
+        tri[int(prev2) * V + int(prev)] = row
+    return uni, bi, tri
 
 
 def evaluate_baselines(
@@ -73,38 +137,48 @@ def evaluate_baselines(
     reset_token_ids: frozenset = frozenset(),
 ):
     """Per-model NLL/PPL/bits + improvement over the best simple model."""
-    unigram, bigram, trigram = counts
-    active_size = vocab_size - 1
-    nll = {name: 0.0 for name in MODEL_NAMES}
+    V = int(vocab_size)
+    active = V - 1
+    uni, bi, tri = _dense_tables(counts, V)
+    uni_total = uni[1:].sum()
+    bi_totals = bi[:, 1:].sum(axis=1)
+    tri_totals = tri[:, 1:].sum(axis=1)
+    smooth = alpha * active
+
+    nll = dict.fromkeys(MODEL_NAMES, 0.0)
     tokens = 0
-    for x, y in _iter_examples(xs, ys):
-        for position, (previous, target) in enumerate(zip(x, y)):
-            previous, target = int(previous), int(target)
-            if target == PAD_ID:
-                continue
-            tokens += 1
-            previous2 = _previous2(x, position, reset_token_ids)
-            nll["Uniform"] += math.log(active_size)
-            nll["Unigram"] -= math.log(_probability(unigram, target, alpha, active_size))
-            nll["Bigram"] -= math.log(
-                _probability(bigram.get(previous), target, alpha, active_size)
-            )
-            tri_counts = trigram.get((previous2, previous))
-            if tri_counts is None:
-                tri_counts = bigram.get(previous)
-            nll["Trigram"] -= math.log(
-                _probability(tri_counts, target, alpha, active_size)
-            )
+    for prev2, prev, target in _row_contexts(xs, ys, reset_token_ids):
+        tokens += target.size
+        nll["Uniform"] += target.size * math.log(active)
+        nll["Unigram"] -= float(
+            np.log((uni[target] + alpha) / (uni_total + smooth)).sum()
+        )
+        bi_count = bi[prev, target]
+        bi_total = bi_totals[prev]
+        nll["Bigram"] -= float(
+            np.log((bi_count + alpha) / (bi_total + smooth)).sum()
+        )
+        # Trigram with backoff: contexts never seen in training fall back to
+        # the bigram row for the same ``prev`` (reference backoff branch).
+        context = prev2 * V + prev
+        seen = tri_totals[context] > 0
+        tri_count = np.where(seen, tri[context, target], bi_count)
+        tri_total = np.where(seen, tri_totals[context], bi_total)
+        nll["Trigram"] -= float(
+            np.log((tri_count + alpha) / (tri_total + smooth)).sum()
+        )
+
     if tokens == 0:
         raise ValueError("test dataset has no evaluable non-PAD targets")
-    results = {}
-    for name in MODEL_NAMES:
-        loss = nll[name] / tokens
-        results[name] = {
-            "cross_entropy_nats": loss,
-            "perplexity": math.exp(loss),
-            "bits_per_codon": loss / math.log(2),
+
+    results = {
+        name: {
+            "cross_entropy_nats": nll[name] / tokens,
+            "perplexity": math.exp(nll[name] / tokens),
+            "bits_per_codon": nll[name] / tokens / math.log(2),
         }
+        for name in MODEL_NAMES
+    }
     best_name = min(
         (n for n in MODEL_NAMES if n != "Uniform"),
         key=lambda n: results[n]["cross_entropy_nats"],
