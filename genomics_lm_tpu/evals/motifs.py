@@ -161,6 +161,103 @@ def cluster_consensus(
     return consensus
 
 
+def position_weight_matrix(sequences, vocab: list[str]) -> np.ndarray:
+    """PWM over aligned token sequences → (len(vocab), L) probability matrix.
+
+    Parity: reference ``src/eval/motif_analysis.py:4-33`` (``calculate_pwm``)
+    — per-position token frequencies normalized by the number of sequences;
+    tokens outside ``vocab`` contribute no counts (so columns may sum to <1
+    if unknown tokens appear). Returns a plain ndarray with rows following
+    ``vocab`` order instead of a DataFrame.
+    """
+    vocab = list(vocab)
+    if not len(sequences):
+        return np.zeros((len(vocab), 0), dtype=np.float64)
+    width = len(sequences[0])
+    index = {token: i for i, token in enumerate(vocab)}
+    counts = np.zeros((len(vocab), width), dtype=np.float64)
+    for seq in sequences:
+        for pos, token in enumerate(seq):
+            row = index.get(token)
+            if row is not None:
+                counts[row, pos] += 1.0
+    return counts / len(sequences)
+
+
+def pwm_consensus(pwm: np.ndarray, vocab: list[str]) -> str:
+    """Highest-probability token per PWM column, concatenated.
+
+    Parity: reference ``src/eval/motif_analysis.py:35-41`` (``get_consensus``).
+    """
+    if pwm.size == 0:
+        return ""
+    return "".join(vocab[i] for i in np.argmax(pwm, axis=0))
+
+
+def pwm_entropy(pwm: np.ndarray) -> np.ndarray:
+    """Shannon entropy (bits) per PWM column, ``-Σ p·log2(p + 1e-9)``.
+
+    Parity: reference ``src/eval/motif_analysis.py:43-53``
+    (``get_shannon_entropy``), including the 1e-9 log guard.
+    """
+    if pwm.size == 0:
+        return np.array([])
+    return -np.sum(pwm * np.log2(pwm + 1e-9), axis=0)
+
+
+def pwm_information_content(pwm: np.ndarray, vocab_size: int) -> np.ndarray:
+    """Per-position information content in bits: log2(V) − H(position).
+
+    Repo addition on top of the reference's entropy scoring — the standard
+    sequence-logo height, useful for ranking positions by conservation.
+    """
+    entropy = pwm_entropy(pwm)
+    if entropy.size == 0:
+        return entropy
+    return np.log2(float(vocab_size)) - entropy
+
+
+def cluster_pwm_report(
+    input_ids: np.ndarray,
+    metadata: list[tuple[int, int, int]],
+    labels: np.ndarray,
+    itos: dict[int, str],
+) -> dict[int, dict]:
+    """Per-cluster PWM consensus + entropy summary over member windows.
+
+    Builds each cluster's aligned member token strings from the window
+    metadata, then reports the PWM consensus, mean/min per-position Shannon
+    entropy (bits), and total information content — the quantities the
+    reference's motif benchmark derives from ``motif_analysis.py``.
+    """
+    vocab = [itos.get(i, "?") for i in range(max(itos) + 1 if itos else 0)]
+    report: dict[int, dict] = {}
+    for label in sorted(set(int(l) for l in labels)):
+        if label == -1:
+            continue
+        members = [m for m, l in zip(metadata, labels) if int(l) == label]
+        if not members:
+            continue
+        sequences = [
+            [vocab[int(t)] if int(t) < len(vocab) else "?"
+             for t in input_ids[b, start:end]]
+            for b, start, end in members
+        ]
+        pwm = position_weight_matrix(sequences, vocab)
+        entropy = pwm_entropy(pwm)
+        info = pwm_information_content(pwm, len(vocab))
+        report[label] = {
+            "pwm_consensus": " ".join(
+                vocab[i] for i in np.argmax(pwm, axis=0)
+            ) if pwm.size else "",
+            "mean_entropy_bits": float(entropy.mean()) if entropy.size else 0.0,
+            "min_entropy_bits": float(entropy.min()) if entropy.size else 0.0,
+            "information_content_bits": float(info.sum()) if info.size else 0.0,
+            "per_position_entropy_bits": [float(e) for e in entropy],
+        }
+    return report
+
+
 def match_known_motifs(consensus_dna: str, motifs: dict | None = None) -> list[str]:
     """Names of curated motifs whose DNA appears in a consensus string."""
     motifs = motifs or KNOWN_MOTIFS
@@ -172,6 +269,11 @@ __all__ = [
     "KNOWN_MOTIFS",
     "MotifClusterer",
     "cluster_consensus",
+    "cluster_pwm_report",
     "extract_window_embeddings",
     "match_known_motifs",
+    "position_weight_matrix",
+    "pwm_consensus",
+    "pwm_entropy",
+    "pwm_information_content",
 ]

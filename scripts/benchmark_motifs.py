@@ -50,14 +50,21 @@ def main(argv=None) -> int:
                 score = 1.0
             if score > best_score:
                 best_name, best_score = name, score
-        rows.append({
+        row = {
             "cluster": cluster.get("cluster", cluster.get("label")),
             "consensus": consensus,
             "size": cluster.get("size"),
             "best_match": best_name,
             "similarity": round(best_score, 4),
             "exact_containments": contained,
-        })
+        }
+        # Information-content scoring (reference motif_analysis.py PWM path):
+        # carried through from mine_motifs.py when present.
+        for key in ("pwm_consensus", "mean_entropy_bits", "min_entropy_bits",
+                    "information_content_bits"):
+            if key in cluster:
+                row[key] = cluster[key]
+        rows.append(row)
     rows.sort(key=lambda r: -r["similarity"])
 
     report = {

@@ -39,6 +39,7 @@ def main(argv=None) -> int:
     from genomics_lm_tpu.evals.motifs import (
         MotifClusterer,
         cluster_consensus,
+        cluster_pwm_report,
         extract_window_embeddings,
         match_known_motifs,
     )
@@ -60,6 +61,7 @@ def main(argv=None) -> int:
     clusterer = MotifClusterer(n_clusters=n_clusters)
     labels = clusterer.fit_predict(emb)
     consensus = cluster_consensus(x, meta, labels, itos)
+    pwm_stats = cluster_pwm_report(x, meta, labels, itos)
     report = {
         "n_windows": len(meta),
         "n_clusters": n_clusters,
@@ -68,6 +70,14 @@ def main(argv=None) -> int:
                 "consensus": text,
                 "size": int((labels == label).sum()),
                 "known_motifs": match_known_motifs(text),
+                **{
+                    key: value
+                    for key, value in pwm_stats.get(label, {}).items()
+                    if key != "per_position_entropy_bits"
+                },
+                "per_position_entropy_bits": pwm_stats.get(label, {}).get(
+                    "per_position_entropy_bits", []
+                ),
             }
             for label, text in consensus.items()
         },

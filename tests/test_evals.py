@@ -198,6 +198,64 @@ class TestDiversityAndMotifs:
         )
         assert len(meta2) <= len(meta)
 
+    def test_pwm_math_on_toy_alignment(self):
+        from genomics_lm_tpu.evals.motifs import (
+            position_weight_matrix,
+            pwm_consensus,
+            pwm_entropy,
+            pwm_information_content,
+        )
+
+        vocab = ["A", "C", "G", "T"]
+        # column 0 fully conserved A; column 1 split A/C; column 2 uniform
+        sequences = [
+            ["A", "A", "A"],
+            ["A", "A", "C"],
+            ["A", "C", "G"],
+            ["A", "C", "T"],
+        ]
+        pwm = position_weight_matrix(sequences, vocab)
+        assert pwm.shape == (4, 3)
+        np.testing.assert_allclose(pwm[:, 0], [1.0, 0.0, 0.0, 0.0])
+        np.testing.assert_allclose(pwm[:, 1], [0.5, 0.5, 0.0, 0.0])
+        np.testing.assert_allclose(pwm[:, 2], [0.25] * 4)
+        assert pwm_consensus(pwm, vocab) == "AAA"
+
+        entropy = pwm_entropy(pwm)
+        # conserved ≈ 0 bits, 50/50 = 1 bit, uniform over 4 = 2 bits
+        assert entropy[0] == pytest.approx(0.0, abs=1e-6)
+        assert entropy[1] == pytest.approx(1.0, abs=1e-6)
+        assert entropy[2] == pytest.approx(2.0, abs=1e-6)
+
+        info = pwm_information_content(pwm, len(vocab))
+        assert info[0] == pytest.approx(2.0, abs=1e-6)
+        assert info[2] == pytest.approx(0.0, abs=1e-6)
+
+        # unknown tokens contribute no counts; empty input well-defined
+        sparse = position_weight_matrix([["A", "N"]], vocab)
+        assert sparse[:, 1].sum() == 0.0
+        empty = position_weight_matrix([], vocab)
+        assert empty.shape == (4, 0)
+        assert pwm_consensus(empty, vocab) == ""
+        assert pwm_entropy(empty).size == 0
+
+    def test_cluster_pwm_report(self):
+        from genomics_lm_tpu.evals.motifs import cluster_pwm_report
+
+        itos = {0: "<PAD>", 4: "AAA", 5: "AAC", 6: "AAG"}
+        ids = np.array([[4, 5, 6, 4, 5, 6]])
+        # two windows of width 3 in cluster 0 with identical content,
+        # one divergent window in cluster 1
+        metadata = [(0, 0, 3), (0, 3, 6), (0, 1, 4)]
+        labels = np.array([0, 0, 1])
+        report = cluster_pwm_report(ids, metadata, labels, itos)
+        assert set(report) == {0, 1}
+        assert report[0]["pwm_consensus"] == "AAA AAC AAG"
+        # identical members → fully conserved → ~0 entropy everywhere
+        assert report[0]["mean_entropy_bits"] == pytest.approx(0.0, abs=1e-6)
+        assert report[0]["information_content_bits"] > 0
+        assert len(report[0]["per_position_entropy_bits"]) == 3
+
 
 class TestAggregation:
     def test_aggregator_and_summary(self, tmp_path):
