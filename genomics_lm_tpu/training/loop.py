@@ -68,7 +68,9 @@ from genomics_lm_tpu.training.lifecycle import (
     restore_rng_state,
 )
 from genomics_lm_tpu.training.runtime import (
+    GracefulPreemption,
     PeriodicCheckpointPolicy,
+    PreemptionRequested,
     WallTimeLimitException,
     WallTimer,
     atomic_write,
@@ -618,6 +620,7 @@ def run_training(
 
     max_time_minutes = cfg.get("max_time_minutes")
     wall_timer = WallTimer(max_time_minutes)
+    preemption = GracefulPreemption().install()
     train_wall0 = time.perf_counter()
     train_cpu0 = time.process_time()
     dataloader_seed = int(cfg.get("dataloader_seed", seed))
@@ -773,6 +776,7 @@ def run_training(
                         jax.block_until_ready(params)
                         save_last(epoch_idx, reason="periodic")
                     wall_timer.check()
+                    preemption.check()
 
             mem = device_memory_stats()
             if mem.get("peak_bytes_in_use"):
@@ -892,6 +896,10 @@ def run_training(
                 print("[early-stopping] no improvement; stopping.")
                 break
 
+    except PreemptionRequested as exc:
+        print(f"\n[info] {exc} — saving preemption checkpoint mid-epoch.")
+        save_last(current_epoch_idx or (start_epoch + 1), reason="preempted")
+        status = "stopped"
     except WallTimeLimitException:
         print(f"\n[info] Wall-time limit of {max_time_minutes} minutes reached mid-epoch.")
         save_last(current_epoch_idx or (start_epoch + 1), reason="wall_time")
@@ -916,6 +924,7 @@ def run_training(
             failure = exc
             print(f"[error] training failed: {exc}", file=sys.stderr)
 
+    preemption.uninstall()
     total_time = time.perf_counter() - train_wall0
     meta = {
         "run_id": run_dir.name,
@@ -932,6 +941,8 @@ def run_training(
     }
     if failure is not None:
         meta["error"] = f"{type(failure).__name__}: {failure}"
+    if preemption.requested:
+        meta["preempted_by_signal"] = preemption.signum
     if history:
         meta.update({
             "last_epoch": history[-1]["epoch"],

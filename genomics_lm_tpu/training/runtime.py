@@ -32,6 +32,77 @@ class WallTimeLimitException(Exception):
     """Raised when a trainer reaches its configured wall-time budget."""
 
 
+class PreemptionRequested(WallTimeLimitException):
+    """Raised at a microbatch boundary after a termination signal arrived.
+
+    Subclasses ``WallTimeLimitException`` so it rides the trainer's existing
+    graceful-stop path (save ``last``, flush metrics, status "stopped") —
+    the checkpoint reason distinguishes ``preempted`` from ``wall_time``.
+    """
+
+
+class GracefulPreemption:
+    """Deferred SIGTERM handling built on the checkpoint contract.
+
+    The reference logs a stack and exits on SIGTERM
+    (``src/training/runtime.py:209-242``), losing mid-epoch work. On
+    preemptible TPU pods that is the difference between losing an epoch and
+    losing nothing, so here the FIRST termination signal only sets a flag;
+    the trainer polls :meth:`check` at microbatch boundaries, saves ``last``
+    with ``checkpoint_reason: preempted``, writes meta, and exits cleanly.
+    A SECOND signal falls through to the prior handler (hard exit 128+sig)
+    so a stuck save cannot block termination.
+    """
+
+    def __init__(self, signals: tuple = (signal.SIGTERM,)) -> None:
+        self._signals = signals
+        self._prior: dict[int, Any] = {}
+        self.requested = False
+        self.signum: int | None = None
+
+    def install(self) -> "GracefulPreemption":
+        for sig in self._signals:
+            try:
+                self._prior[int(sig)] = signal.signal(sig, self._on_signal)
+            except (ValueError, OSError):
+                # non-main thread or unsupported platform: stay passive
+                pass
+        return self
+
+    def uninstall(self) -> None:
+        for signum, prior in self._prior.items():
+            try:
+                signal.signal(signum, prior)
+            except Exception:
+                pass
+        self._prior.clear()
+
+    def _on_signal(self, signum, frame) -> None:
+        if self.requested:
+            prior = self._prior.get(signum, signal.SIG_DFL)
+            try:
+                signal.signal(signum, prior)
+            except Exception:
+                pass
+            if callable(prior):
+                prior(signum, frame)
+                return
+            raise SystemExit(128 + signum)
+        self.requested = True
+        self.signum = int(signum)
+        print(
+            f"[signal] {signal.Signals(signum).name} received — saving a "
+            "preemption checkpoint at the next microbatch boundary "
+            "(send again to force exit)",
+            flush=True,
+        )
+
+    def check(self) -> None:
+        if self.requested:
+            name = signal.Signals(self.signum).name if self.signum else "signal"
+            raise PreemptionRequested(f"preempted by {name}")
+
+
 def default_device():
     """Best available JAX device: TPU, then GPU, then CPU."""
     import jax
@@ -313,7 +384,9 @@ class RunLogger:
 
 
 __all__ = [
+    "GracefulPreemption",
     "PeriodicCheckpointPolicy",
+    "PreemptionRequested",
     "RunLogger",
     "WallTimeLimitException",
     "WallTimer",

@@ -81,7 +81,7 @@ def main(argv=None) -> int:
         else:
             mesh = make_mesh(int(n_mesh))
 
-    run_training(
+    meta = run_training(
         cfg,
         config_path=args.config,
         resume=args.resume,
@@ -89,6 +89,10 @@ def main(argv=None) -> int:
         run_root=args.run_root,
         mesh=mesh,
     )
+    # a preempted run saved its checkpoint; exit with the conventional
+    # 128+signum so supervisors see the termination cause
+    if meta and meta.get("preempted_by_signal"):
+        return 128 + int(meta["preempted_by_signal"])
     return 0
 
 

@@ -6,6 +6,8 @@ checkpoint files, meta status, resume behavior, and failure safeguards.
 """
 
 import json
+import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -188,6 +190,95 @@ class TestEndToEnd:
             tmp_path / "runs" / "aux-run" / "scores" / "curves.csv"
         ).read_text().splitlines()
         assert "train_offset_2" in curves[0] and "train_term_loss" in curves[0]
+
+
+class TestPreemption:
+    """SIGTERM rides the checkpoint contract instead of losing the epoch."""
+
+    def test_graceful_preemption_defers_then_hard_exits(self):
+        import signal as _signal
+
+        from genomics_lm_tpu.training.runtime import (
+            GracefulPreemption,
+            PreemptionRequested,
+        )
+
+        chained = []
+        prior = _signal.signal(_signal.SIGTERM, lambda s, f: chained.append(s))
+        try:
+            gp = GracefulPreemption().install()
+            gp.check()  # no signal yet: no-op
+            os.kill(os.getpid(), _signal.SIGTERM)
+            # first signal is consumed: flag set, nothing chained
+            assert gp.requested and gp.signum == int(_signal.SIGTERM)
+            assert chained == []
+            with pytest.raises(PreemptionRequested):
+                gp.check()
+            # second signal falls through to the prior handler (hard path)
+            os.kill(os.getpid(), _signal.SIGTERM)
+            assert chained == [int(_signal.SIGTERM)]
+            gp.uninstall()
+        finally:
+            _signal.signal(_signal.SIGTERM, prior)
+
+    def test_sigterm_saves_preemption_checkpoint_and_resumes(self, tmp_path):
+        import signal as _signal
+        import subprocess
+        import sys
+        import time
+
+        make_fixture(tmp_path, n_train=256)
+        cfg = base_cfg(tmp_path, run_id="pre-run", epochs=200)
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text("\n".join(f"{k}: {v}" for k, v in cfg.items()))
+        repo = Path(__file__).resolve().parent.parent
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out_path = tmp_path / "train.out"
+        with out_path.open("w") as out:
+            proc = subprocess.Popen(
+                [sys.executable, "-u", str(repo / "scripts" / "train_codon_lm.py"),
+                 "--config", str(cfg_path), "--run_root", str(tmp_path / "runs")],
+                stdout=out, stderr=subprocess.STDOUT, env=env, cwd=tmp_path,
+            )
+        try:
+            deadline = time.time() + 180
+            started = False
+            while time.time() < deadline:
+                text = out_path.read_text()
+                # printed after the preemption handler is installed
+                if "[train] starting:" in text:
+                    started = True
+                    break
+                if proc.poll() is not None:
+                    raise AssertionError(f"trainer exited early:\n{text}")
+                time.sleep(0.2)
+            assert started, "trainer never reached the training loop"
+            proc.send_signal(_signal.SIGTERM)
+            rc = proc.wait(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert rc == 128 + int(_signal.SIGTERM), out_path.read_text()[-2000:]
+
+        run_dir = tmp_path / "runs" / "pre-run"
+        payload = ckpt_lib.load_checkpoint(run_dir / "checkpoints" / "last.npz")
+        assert payload["checkpoint_reason"] == "preempted"
+        meta = json.loads((run_dir / "checkpoints" / "meta.json").read_text())
+        assert meta["status"] == "stopped"
+        assert meta["preempted_by_signal"] == int(_signal.SIGTERM)
+
+        # resume losslessly: continue from the preempted checkpoint to a
+        # 1-epoch target and finish clean
+        resumed = run_training(
+            base_cfg(tmp_path, run_id="pre-run", epochs=1),
+            resume=str(run_dir / "checkpoints" / "last.npz"),
+            run_root=str(tmp_path / "runs"),
+        )
+        assert resumed["status"] == "completed"
+        payload2 = ckpt_lib.load_checkpoint(run_dir / "checkpoints" / "last.npz")
+        assert payload2["run_progress"]["completed_epochs"] == 1
+        curves = (run_dir / "scores" / "curves.csv").read_text().strip().splitlines()
+        assert len(curves) == 2  # header + exactly one epoch row, no replays
 
 
 class TestCheckpointStore:
