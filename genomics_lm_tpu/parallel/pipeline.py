@@ -111,6 +111,38 @@ def stage_param_sharding(mesh: Mesh, tree: Any) -> Any:
         jax.tree.map(lambda _: rep, tree), lambda _: piped)
 
 
+def stage_opt_state_sharding(mesh: Mesh, opt_state: Any, *,
+                             zero1: bool = False) -> Any:
+    """NamedShardings for a stage-split optax state, optionally ZeRO-1.
+
+    Block-path leaves (AdamW moments mirror the params tree) lead with the
+    ``pipe`` axis like :func:`stage_param_sharding`. With ``zero1`` each
+    leaf additionally shards its first remaining divisible dimension over
+    the ``data`` axis — the PP analog of
+    ``sharding.zero1_opt_state_sharding``, so stage-param moments never
+    replicate across data-parallel peers.
+    """
+    dp = mesh.shape.get(DATA_AXIS, 1)
+
+    def spec(shape, under_blocks: bool) -> P:
+        parts = [None] * len(shape)
+        if under_blocks and shape:
+            parts[0] = PIPE_AXIS
+        if zero1 and dp > 1:
+            for dim, size in enumerate(shape):
+                if parts[dim] is None and size > 0 and size % dp == 0:
+                    parts[dim] = DATA_AXIS
+                    break
+        return P(*parts)
+
+    def visit(path, leaf):
+        under_blocks = any(getattr(p, "key", None) == "blocks" for p in path)
+        return NamedSharding(
+            mesh, spec(getattr(leaf, "shape", ()), under_blocks))
+
+    return jax.tree_util.tree_map_with_path(visit, opt_state)
+
+
 def _stage_forward(blocks_stage, params_rest, cfg: CodonGPTConfig, x,
                    segment_ids, rope_cache, rng=None):
     """Apply this stage's block stack to x — mirrors ``_run_blocks``.
@@ -167,10 +199,15 @@ def _pipeline_shard_fn(params, Xm, Ym, train_rng=None, *,
             segment_ids_from_tokens(xb, cfg.sep_id)
             if cfg.sep_id is not None else None
         )
-        # per-(stage, tick) dropout keys — unique per (microbatch, stage)
+        # per-(stage, tick) dropout keys — unique per (microbatch, stage);
+        # the replicated rng also folds the data-axis index so each
+        # data-parallel shard draws independent masks for its local rows
         if train_rng is not None:
             tick_rng = jax.random.fold_in(
                 jax.random.fold_in(train_rng, sid), t)
+            if has_data_axis:
+                tick_rng = jax.random.fold_in(
+                    tick_rng, jax.lax.axis_index(DATA_AXIS))
             embed_rng = jax.random.fold_in(tick_rng, 0)
             stage_rng = jax.random.fold_in(tick_rng, 1)
         else:
@@ -289,7 +326,8 @@ def make_pipeline_train_step(cfg: CodonGPTConfig, mesh: Mesh,
     return step
 
 
-def make_pipeline_group_step(cfg: CodonGPTConfig, tx, mesh: Mesh):
+def make_pipeline_group_step(cfg: CodonGPTConfig, tx, mesh: Mesh,
+                             opt_shardings=None):
     """Production-trainer group step (``training/loop.py`` contract) under PP.
 
     Signature matches ``train_step.make_train_step``'s returned function::
@@ -301,11 +339,19 @@ def make_pipeline_group_step(cfg: CodonGPTConfig, tx, mesh: Mesh):
     as ONE GPipe run with M=G microbatches, committing the exact
     token-weighted whole-group CE — the full-batch objective itself rather
     than grad accumulation's mean-of-microbatch-means approximation of it.
+    (The two objectives coincide at G=1 or whenever every microbatch holds
+    the same non-pad token count; at ragged counts they differ by the
+    token-weighting — quantified in
+    ``test_pipeline.py::TestGroupStepObjective``.)
     Dropout follows ``cfg.dropout`` via the step rng. Aux losses are not
     supported here; ``run_training`` fails closed before selecting this
     step. Nonfinite handling is group-granular (GPipe has no per-microbatch
     commit point): any nonfinite loss/grad skips the whole update, matching
     the trainer's abort-discards-the-group semantics.
+
+    ``opt_shardings`` (a NamedSharding pytree from
+    :func:`stage_opt_state_sharding`) pins the updated optimizer state to
+    its ZeRO-1 layout so GSPMD keeps the moments sharded across steps.
     """
     import optax
 
@@ -329,6 +375,9 @@ def make_pipeline_group_step(cfg: CodonGPTConfig, tx, mesh: Mesh):
 
         new_params, new_opt_state = jax.lax.cond(
             group_ok, apply_update, lambda _: (params, opt_state), None)
+        if opt_shardings is not None:
+            new_opt_state = jax.lax.with_sharding_constraint(
+                new_opt_state, opt_shardings)
 
         ok_f = group_ok.astype(jnp.float32)
         ok_i = group_ok.astype(jnp.int32)
@@ -340,6 +389,10 @@ def make_pipeline_group_step(cfg: CodonGPTConfig, tx, mesh: Mesh):
             "committed_microbatches": committed,
             # the whole-group objective has no per-microbatch commit point
             "discarded_before_nonfinite": jnp.int32(0),
+            # NOTE: under PP this is the whole-group token-weighted loss;
+            # the non-PP trainer logs the FIRST microbatch's loss here, so
+            # `initial_loss` curves are not directly comparable across
+            # trainer modes (they converge as the first group averages out)
             "first_loss": loss,
             "total_loss_sum": loss * jnp.float32(G) * ok_f,
             "next_loss_sum": loss * jnp.float32(G) * ok_f,
@@ -350,29 +403,39 @@ def make_pipeline_group_step(cfg: CodonGPTConfig, tx, mesh: Mesh):
     return jax.jit(step)
 
 
-def make_pipeline_eval_step(cfg: CodonGPTConfig, mesh: Mesh):
+def make_pipeline_eval_step(cfg: CodonGPTConfig, mesh: Mesh,
+                            max_microbatch_rows: int = 8):
     """Validation step (``train_step.make_eval_step`` contract) under PP.
 
-    Pads the batch up to a multiple of n_stages × dp with PAD-target rows
-    — exact: rows whose targets are all PAD contribute zero CE numerator
+    Pads the batch with PAD-target rows up to the pipeline quantum —
+    exact: rows whose targets are all PAD contribute zero CE numerator
     and denominator, and the token counts are computed on the padded
     targets (still PAD). Returns the token-weighted batch CE for both
     loss fields; ``next_loss_token_sum`` is therefore the exact corpus CE
     sum the trainer's perplexity accounting expects.
+
+    The microbatch count is chosen per batch shape (shapes are static
+    under jit) as the most bubble-amortizing schedule: microbatches of at
+    most ``max_microbatch_rows`` rows per data shard, at least ``S``
+    microbatches total, so large validation batches run at bubble
+    fraction (S-1)/(M+S-1) with M ≫ S instead of the fixed worst case
+    (S-1)/(2S-1).
     """
     n_stages = mesh.shape[PIPE_AXIS]
     dp = mesh.shape.get(DATA_AXIS, 1)
-    quantum = n_stages * dp
 
     def step(params, xb, yb):
-        pad = (-xb.shape[0]) % quantum
+        rows_per_shard = -(-xb.shape[0] // dp)              # ceil
+        mb_rows = max(1, min(max_microbatch_rows, rows_per_shard // n_stages))
+        M = max(n_stages, -(-rows_per_shard // mb_rows))
+        pad = M * mb_rows * dp - xb.shape[0]
         if pad:
             xb = jnp.concatenate(
                 [xb, jnp.zeros((pad, xb.shape[1]), xb.dtype)])
             yb = jnp.concatenate(
                 [yb, jnp.zeros((pad, yb.shape[1]), yb.dtype)])
         loss = pipeline_loss(
-            params, cfg, xb, yb, mesh=mesh, n_microbatches=n_stages)
+            params, cfg, xb, yb, mesh=mesh, n_microbatches=M)
         nonpad = jnp.sum(yb != 0)
         return {
             "total_loss": loss,
@@ -392,6 +455,7 @@ __all__ = [
     "merge_stage_params",
     "pipeline_loss",
     "split_stage_params",
+    "stage_opt_state_sharding",
     "stage_param_sharding",
     "stage_param_specs",
 ]

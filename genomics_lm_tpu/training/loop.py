@@ -62,6 +62,7 @@ from genomics_lm_tpu.training.config import (
     write_meta,
 )
 from genomics_lm_tpu.training.lifecycle import (
+    RunLifecycleError,
     TrainingRun,
     capture_rng_state,
     configuration_fingerprint,
@@ -406,8 +407,6 @@ def run_training(
                     ("termination_loss", loss_cfg.termination_enabled),
                     ("replay_loss", loss_cfg.replay_enabled),
                     ("shape_guidance", model_cfg.use_shape_guidance),
-                    ("shard_optimizer_state",
-                     bool(cfg.get("shard_optimizer_state", False))),
                 ) if on
             ]
             if unsupported:
@@ -417,17 +416,26 @@ def run_training(
                 )
             from genomics_lm_tpu.parallel.pipeline import (
                 split_stage_params,
+                stage_opt_state_sharding,
                 stage_param_sharding,
             )
+
+            pp_zero1 = bool(cfg.get("shard_optimizer_state", False))
 
             def stage_put(tree):  # merged host layout → staged on-mesh
                 staged = split_stage_params(tree, mesh.shape["pipe"])
                 return jax.device_put(
                     staged, stage_param_sharding(mesh, staged))
 
+            def stage_put_opt(tree):  # ZeRO-1: moments shard over data too
+                staged = split_stage_params(tree, mesh.shape["pipe"])
+                return jax.device_put(
+                    staged,
+                    stage_opt_state_sharding(mesh, staged, zero1=pp_zero1))
+
             param_sharding = rep  # non-block leaves; blocks handled by stage_put
             params = stage_put(params)
-            opt_state = stage_put(opt_state)
+            opt_state = stage_put_opt(opt_state)
         elif tensor_parallel:
             # Megatron-style column/row weight splits over the model axis;
             # GSPMD inserts the attention-proj / MLP-down all-reduces.
@@ -458,13 +466,17 @@ def run_training(
             merge_stage_params,
         )
 
-        train_step = make_pipeline_group_step(model_cfg, bundle.tx, mesh)
+        train_step = make_pipeline_group_step(
+            model_cfg, bundle.tx, mesh,
+            opt_shardings=stage_opt_state_sharding(
+                mesh, opt_state, zero1=pp_zero1),
+        )
         eval_step = make_pipeline_eval_step(model_cfg, mesh)
         print(
             f"[mesh] pipeline: pipe={mesh.shape['pipe']} "
             f"data={mesh.shape.get('data', 1)} "
             f"layers_per_stage={model_cfg.n_layer // mesh.shape['pipe']} "
-            f"microbatches_per_group={gacc}"
+            f"microbatches_per_group={gacc} zero1={pp_zero1}"
         )
     else:
         train_step = make_train_step(
@@ -491,6 +503,19 @@ def run_training(
 
     if training_run.resume_checkpoint is not None:
         payload = ckpt_lib.load_checkpoint(training_run.resume_checkpoint)
+        saved_objective = payload.get("train_objective")
+        current_objective = "group_ce" if pipeline else "microbatch_mean"
+        if saved_objective and saved_objective != current_objective and gacc > 1:
+            training_run.close()  # release the run lock before failing closed
+            raise RunLifecycleError(
+                "resume would switch the training objective from "
+                f"{saved_objective} to {current_objective} at "
+                f"grad_accum_steps={gacc}: whole-group CE and "
+                "mean-of-microbatch-means weight ragged microbatches "
+                "differently. Resume with the same pipeline_stages setting "
+                "(any stage COUNT is fine), or use grad_accum_steps: 1 "
+                "where the objectives coincide."
+            )
         params = jax.tree.map(jnp.asarray, payload["model"])
         opt_state = jax.tree.unflatten(
             jax.tree.structure(opt_state),
@@ -500,7 +525,7 @@ def run_training(
             if pipeline:
                 # checkpoints always store the merged (single-device) layout
                 params = stage_put(params)
-                opt_state = stage_put(opt_state)
+                opt_state = stage_put_opt(opt_state)
             else:
                 params = jax.device_put(params, param_sharding)
                 if tensor_parallel:
@@ -584,6 +609,10 @@ def run_training(
             ),
             "batch_size": batch_size,
             "grad_accum_steps": gacc,
+            # objective class: PP commits whole-group token-weighted CE,
+            # the non-PP trainer commits mean-of-microbatch-means (they
+            # coincide at G=1); resume guards against silently switching
+            "train_objective": "group_ce" if pipeline else "microbatch_mean",
             "train_examples": len(train_ds),
             "train_batches": microbatches_per_epoch,
             "accumulation_health": health.state_dict(),

@@ -359,6 +359,234 @@ class TestTrainerUnderPipeline:
             np.testing.assert_allclose(a, b, rtol=5e-3, err_msg=key)
 
 
+class TestZero1UnderPipeline:
+    """ZeRO-1 composed with PP: AdamW moments shard over (pipe, data)."""
+
+    def test_opt_state_shardings_span_pipe_and_data(self):
+        from genomics_lm_tpu.parallel.mesh import DATA_AXIS
+        from genomics_lm_tpu.parallel.pipeline import stage_opt_state_sharding
+
+        cfg = _cfg()
+        params = codon_gpt.init(jax.random.PRNGKey(6), cfg)
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(params)
+        mesh = make_mesh(8, axes={"data": 2, PIPE_AXIS: 4})
+        staged = split_stage_params(opt_state, 4)
+        shardings = stage_opt_state_sharding(mesh, staged, zero1=True)
+        staged = jax.device_put(staged, shardings)
+
+        def specs_under(tree, key):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            return [
+                (path, leaf) for path, leaf in flat
+                if any(getattr(p, "key", None) == key for p in path)
+            ]
+
+        block_leaves = specs_under(staged, "blocks")
+        assert block_leaves
+        for _, leaf in block_leaves:
+            spec = leaf.sharding.spec
+            assert spec[0] == PIPE_AXIS
+            # every block moment has a data-divisible dim at this width
+            assert DATA_AXIS in tuple(spec), spec
+        # non-block moments (embeddings etc.) shard over data where divisible
+        emb_leaves = specs_under(staged, "tok_emb")
+        assert emb_leaves
+        assert any(
+            DATA_AXIS in tuple(leaf.sharding.spec) for _, leaf in emb_leaves
+        )
+        # without zero1, nothing shards over data
+        plain = stage_opt_state_sharding(mesh, split_stage_params(opt_state, 4))
+        for leaf in jax.tree.leaves(plain):
+            assert DATA_AXIS not in tuple(leaf.spec)
+
+    def test_group_step_parity_with_sharded_moments(self):
+        """Two group steps with ZeRO-1 moments must produce the same params
+        and losses as with replicated moments, and the updated opt state
+        must keep its (pipe, data) shardings."""
+        from genomics_lm_tpu.parallel.mesh import DATA_AXIS
+        from genomics_lm_tpu.parallel.pipeline import (
+            make_pipeline_group_step,
+            stage_opt_state_sharding,
+        )
+
+        cfg = _cfg()
+        rng = np.random.default_rng(7)
+        X, Y = _batch(rng, 16, cfg.block_size)
+        batch = {
+            "x": jnp.asarray(np.asarray(X).reshape(2, 8, cfg.block_size)),
+            "y": jnp.asarray(np.asarray(Y).reshape(2, 8, cfg.block_size)),
+        }
+        params = codon_gpt.init(jax.random.PRNGKey(7), cfg)
+        tx = optax.adamw(1e-3)
+        mesh = make_mesh(8, axes={"data": 2, PIPE_AXIS: 4})
+        key = jax.random.PRNGKey(0)
+        results = {}
+        for zero1 in (False, True):
+            p = split_stage_params(params, 4)
+            p = jax.device_put(p, stage_param_sharding(mesh, p))
+            s = split_stage_params(tx.init(params), 4)
+            shardings = stage_opt_state_sharding(mesh, s, zero1=zero1)
+            s = jax.device_put(s, shardings)
+            step = make_pipeline_group_step(cfg, tx, mesh,
+                                            opt_shardings=shardings)
+            losses = []
+            for _ in range(2):
+                p, s, metrics = step(p, s, batch, key, jnp.float32(1.0))
+                losses.append(float(metrics["first_loss"]))
+            results[zero1] = (jax.device_get(merge_stage_params(p)), losses)
+            if zero1:
+                flat = jax.tree_util.tree_flatten_with_path(s)[0]
+                sharded = [
+                    leaf for path, leaf in flat
+                    if any(getattr(q, "key", None) == "blocks" for q in path)
+                ]
+                assert sharded
+                for leaf in sharded:
+                    assert DATA_AXIS in tuple(leaf.sharding.spec)
+
+        np.testing.assert_allclose(results[False][1], results[True][1],
+                                   rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+            results[False][0], results[True][0],
+        )
+
+    def test_trainer_pp_zero1_completes_and_resumes(self, tmp_path):
+        from genomics_lm_tpu.training.loop import run_training
+
+        TestTrainerUnderPipeline._fixture(tmp_path)
+        mesh = make_mesh(8, axes={"data": 2, PIPE_AXIS: 4})
+        cfg = TestTrainerUnderPipeline._cfg(
+            tmp_path, run_id="pp-z1", shard_optimizer_state=True)
+        meta = run_training(cfg, run_root=str(tmp_path / "runs"), mesh=mesh)
+        assert meta["status"] == "completed"
+        last = tmp_path / "runs" / "pp-z1" / "checkpoints" / "last.npz"
+        meta2 = run_training(
+            dict(cfg, epochs=3), resume=str(last),
+            run_root=str(tmp_path / "runs"), mesh=mesh)
+        assert meta2["status"] == "completed"
+
+
+class TestGroupStepObjective:
+    """Quantify the G>1 semantics gap: the PP group step commits the
+    whole-group token-weighted CE, the non-PP trainer commits the mean of
+    per-microbatch token-weighted means. Both are convex combinations of
+    the per-microbatch losses, so their gap is bounded by the
+    per-microbatch loss spread; at equal non-pad counts they coincide."""
+
+    def _ragged_batch(self, cfg, G=4, B=4):
+        rng = np.random.default_rng(21)
+        X = rng.integers(4, 68, (G * B, cfg.block_size)).astype(np.int32)
+        X[:, 0] = 1
+        Y = np.roll(X, -1, axis=1).astype(np.int32)
+        Y[:, -1] = 2
+        # heavily ragged non-pad counts: microbatch g keeps only the first
+        # few targets of most rows
+        for g in range(G):
+            keep = 3 + 6 * g
+            Y[g * B:(g + 1) * B - 1, keep:] = 0
+        return jnp.asarray(X), jnp.asarray(Y)
+
+    def test_whole_group_vs_accumulation_objective(self):
+        from genomics_lm_tpu.ops.losses import cross_entropy_parts
+
+        cfg = _cfg()
+        G, B = 4, 4
+        X, Y = self._ragged_batch(cfg, G, B)
+        params = codon_gpt.init(jax.random.PRNGKey(21), cfg)
+
+        # per-microbatch CE parts via the single-device forward
+        numers, denoms, per_mb = [], [], []
+        for g in range(G):
+            xb, yb = X[g * B:(g + 1) * B], Y[g * B:(g + 1) * B]
+            logits, _ = codon_gpt.forward(params, cfg, xb)
+            n, d = cross_entropy_parts(logits, yb, ignore_index=0)
+            numers.append(float(n))
+            denoms.append(float(d))
+            per_mb.append(float(n) / float(d))
+        whole_group = sum(numers) / sum(denoms)
+        mean_of_means = float(np.mean(per_mb))
+
+        mesh = make_mesh(4, axes={PIPE_AXIS: 4})
+        staged = split_stage_params(params, 4)
+        staged = jax.device_put(staged, stage_param_sharding(mesh, staged))
+        pp_loss = float(pipeline_loss(
+            staged, cfg, X, Y, mesh=mesh, n_microbatches=G))
+
+        # the PP objective IS the whole-group token-weighted CE
+        np.testing.assert_allclose(pp_loss, whole_group, rtol=1e-5)
+        # the raggedness makes the two objectives measurably different …
+        gap = abs(whole_group - mean_of_means)
+        assert gap > 1e-6, "fixture failed to produce ragged counts"
+        # … but both are convex combinations of per-microbatch losses, so
+        # the gap is bounded by the per-microbatch loss spread
+        assert gap <= max(per_mb) - min(per_mb)
+        # document the measured scale: on random init the objectives agree
+        # to well under 1% relative — the gap is a weighting nuance, not a
+        # different loss landscape
+        assert gap / whole_group < 0.01
+
+    def test_objectives_coincide_at_equal_counts(self):
+        from genomics_lm_tpu.ops.losses import cross_entropy_parts
+
+        cfg = _cfg()
+        G, B = 4, 4
+        rng = np.random.default_rng(22)
+        X = rng.integers(4, 68, (G * B, cfg.block_size)).astype(np.int32)
+        X[:, 0] = 1
+        Y = np.roll(X, -1, axis=1).astype(np.int32)
+        Y[:, -1] = 2                      # every row: identical non-pad count
+        X, Y = jnp.asarray(X), jnp.asarray(Y)
+        params = codon_gpt.init(jax.random.PRNGKey(22), cfg)
+        per_mb = []
+        for g in range(G):
+            xb, yb = X[g * B:(g + 1) * B], Y[g * B:(g + 1) * B]
+            logits, _ = codon_gpt.forward(params, cfg, xb)
+            n, d = cross_entropy_parts(logits, yb, ignore_index=0)
+            per_mb.append(float(n) / float(d))
+        mesh = make_mesh(4, axes={PIPE_AXIS: 4})
+        staged = split_stage_params(params, 4)
+        pp_loss = float(pipeline_loss(
+            staged, cfg, X, Y, mesh=mesh, n_microbatches=G))
+        np.testing.assert_allclose(pp_loss, float(np.mean(per_mb)), rtol=1e-5)
+
+    def test_resume_objective_switch_fails_closed(self, tmp_path):
+        """Toggling pipeline_stages mid-run at G>1 silently changed the
+        objective weighting before; now it is rejected, while resuming
+        under a different stage COUNT (same objective) stays allowed."""
+        from genomics_lm_tpu.training.lifecycle import RunLifecycleError
+        from genomics_lm_tpu.training.loop import run_training
+
+        TestTrainerUnderPipeline._fixture(tmp_path)
+        mesh_pp2 = make_mesh(4, axes={"data": 2, PIPE_AXIS: 2})
+        cfg = TestTrainerUnderPipeline._cfg(tmp_path, run_id="pp-obj")
+        run_training(cfg, run_root=str(tmp_path / "runs"), mesh=mesh_pp2)
+        last = tmp_path / "runs" / "pp-obj" / "checkpoints" / "last.npz"
+
+        # PP → non-PP at gacc 2: objective would change → fail closed
+        with pytest.raises(RunLifecycleError, match="objective"):
+            run_training(dict(cfg, epochs=3), resume=str(last),
+                         run_root=str(tmp_path / "runs"), mesh=None)
+
+        # PP → PP with a DIFFERENT stage count: same objective, exact
+        mesh_pp4 = make_mesh(8, axes={"data": 2, PIPE_AXIS: 4})
+        meta = run_training(dict(cfg, epochs=3), resume=str(last),
+                            run_root=str(tmp_path / "runs"), mesh=mesh_pp4)
+        assert meta["status"] == "completed"
+
+        # a run trained at gacc 1 may switch PP → non-PP on resume: the
+        # objectives coincide at G=1 (gacc itself is fingerprint-immutable)
+        cfg_g1 = TestTrainerUnderPipeline._cfg(
+            tmp_path, run_id="pp-obj-g1", grad_accum_steps=1)
+        run_training(cfg_g1, run_root=str(tmp_path / "runs"), mesh=mesh_pp2)
+        last2 = tmp_path / "runs" / "pp-obj-g1" / "checkpoints" / "last.npz"
+        meta2 = run_training(
+            dict(cfg_g1, epochs=3), resume=str(last2),
+            run_root=str(tmp_path / "runs"), mesh=None)
+        assert meta2["status"] == "completed"
+
+
 class TestPipelineEvalStep:
     def test_pad_rows_are_exact(self):
         """B=6 on a quantum-4 mesh pads 2 PAD-target rows; the returned
