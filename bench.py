@@ -21,12 +21,14 @@ Two input protocols:
   comparison against the reference's 2,891.9 (which used real preloaded
   data with ~24.7% padding).
 
-By default BOTH protocols run on one compiled step and ONE JSON line is
-printed whose headline "value" is the real-pipeline number (the honest
-protocol-for-protocol comparison), with the synthetic device-side ceiling
-under "synthetic_device_only". ``--real-pipeline`` / ``--synthetic-only``
-run a single protocol. Baseline: 2,891.9 non-pad tok/s (reference selected
-runtime, BASELINE.md).
+By default THREE protocols run on one compiled step and ONE JSON line is
+printed: the headline "value" is the real-pipeline number with the repo's
+first-fit-decreasing ``binpack`` packing (the best honest delivered
+number), "reference_packing_protocol" carries the arrival-order ``multi``
+packing row (protocol-for-protocol vs the reference's ~24% padding), and
+the synthetic device-side ceiling rides under "synthetic_device_only".
+``--real-pipeline`` / ``--synthetic-only`` run a single protocol.
+Baseline: 2,891.9 non-pad tok/s (reference selected runtime, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -272,20 +274,27 @@ def main() -> None:
     if args.synthetic_only:
         print(json.dumps(run_synthetic()))
         return
-    # default: BOTH protocols, one compiled step, ONE JSON line. The
-    # headline value is the real-pipeline number (protocol-for-protocol
-    # vs the reference's 2,891.9 on real preloaded data); the synthetic
-    # device-side ceiling rides along under "synthetic_device_only".
+    # default: ALL THREE protocols, one compiled step, ONE JSON line. The
+    # headline value is the delivered real-pipeline number under binpack
+    # packing (the framework's shipped packing mode, ~11% padding); the
+    # reference-packing row (arrival-order multi, ~24% padding — the
+    # protocol-for-protocol comparison vs the reference's 2,891.9 on real
+    # preloaded data) and the synthetic device-side ceiling ride along.
     built = build_model_and_step()
     synthetic = run_synthetic(built)
-    real = run_real_pipeline(pack, built)
+    multi = run_real_pipeline("multi", built)
+    binpack = run_real_pipeline("binpack", built)
     result = {
         "metric": "train_nonpad_codon_tokens_per_sec_per_chip",
-        "value": real["value"],
+        "value": binpack["value"],
         "unit": "tokens/sec",
-        "vs_baseline": real["vs_baseline"],
-        "protocol": f"real_pipeline({real['pack_mode']}, "
-                    f"pad={real['pad_fraction']})",
+        "vs_baseline": binpack["vs_baseline"],
+        "protocol": f"real_pipeline(binpack, pad={binpack['pad_fraction']})",
+        "reference_packing_protocol": {
+            "value": multi["value"],
+            "vs_baseline": multi["vs_baseline"],
+            "protocol": f"real_pipeline(multi, pad={multi['pad_fraction']})",
+        },
         "synthetic_device_only": {
             "value": synthetic["value"],
             "vs_baseline": synthetic["vs_baseline"],
