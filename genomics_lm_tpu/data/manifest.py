@@ -290,7 +290,15 @@ def load_dataset_manifest(path: str | Path, *, verify_artifacts: bool = True):
 
 
 def discover_manifest(dataset_paths: Iterable[str | Path]) -> Path | None:
-    """The single ``manifest.json`` adjacent to every shard, or None."""
+    """The single ``manifest.json`` adjacent to every shard, or None.
+
+    Only manifests declaring the ``codonlm_dataset_manifest`` schema are
+    discovered: the hybrid pipeline's combined ``manifest.json``
+    (hybrid_pipeline.py) is a path index, not a dataset contract, and must
+    not bind as one. Fail-closed properties are preserved — an unparseable
+    adjacent manifest.json still raises, and an explicitly configured
+    ``dataset_manifest`` path bypasses discovery entirely.
+    """
     adjacent = {
         Path(p).expanduser().resolve().parent / "manifest.json"
         for p in dataset_paths
@@ -300,7 +308,16 @@ def discover_manifest(dataset_paths: Iterable[str | Path]) -> Path | None:
         return None
     if len(present) > 1 or len(adjacent) > 1:
         _fail("dataset shards do not share one adjacent manifest.json")
-    return present.pop()
+    found = present.pop()
+    try:
+        payload = json.loads(found.read_text())
+    except (OSError, json.JSONDecodeError) as exc:
+        raise DatasetManifestError(
+            f"cannot parse adjacent manifest {found}: {exc}"
+        ) from exc
+    if not isinstance(payload, dict) or payload.get("schema") != SCHEMA_NAME:
+        return None
+    return found
 
 
 __all__ = [

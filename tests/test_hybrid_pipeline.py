@@ -1,0 +1,286 @@
+"""Hybrid dataset pipeline: GBFF → flanked extraction → tokenize → split →
+pack → stack → manifests → integrity, ending in a real hybrid-vocab training
+run (parity: reference tests/test_hybrid_pipeline.py + pipeline_prepare_hybrid.py)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from genomics_lm_tpu.data.hybrid_pipeline import (
+    EXPECTED_HYBRID_SPECIALS,
+    HybridPipelineError,
+    _itos_state,
+    count_pad_only_windows,
+    extract_hybrid_flanked,
+    genome_id_from_path,
+    prepare_hybrid_datasets,
+    tokenize_hybrid_flanked,
+)
+from genomics_lm_tpu.tokenizers.hybrid import HybridTokenizer
+
+
+def _gbff_text(locus: str, accession: str, seq: str, cds_locs: list[str]) -> str:
+    feature_lines = []
+    for i, loc in enumerate(cds_locs):
+        feature_lines.append(f"     CDS             {loc}")
+        feature_lines.append(f'                     /locus_tag="{locus}_{i:04d}"')
+    origin_lines = []
+    for off in range(0, len(seq), 60):
+        row = seq[off:off + 60].lower()
+        groups = " ".join(row[j:j + 10] for j in range(0, len(row), 10))
+        origin_lines.append(f"{off + 1:9d} {groups}")
+    return (
+        f"LOCUS       {locus}             {len(seq)} bp    DNA     linear   BCT 01-JAN-2020\n"
+        f"DEFINITION  {locus} mock chromosome.\n"
+        f"ACCESSION   {accession}\n"
+        "SOURCE      mock\n"
+        "  ORGANISM  Mockus testus\n"
+        "FEATURES             Location/Qualifiers\n"
+        f"     source          1..{len(seq)}\n"
+        + "\n".join(feature_lines) + "\n"
+        "ORIGIN\n"
+        + "\n".join(origin_lines) + "\n"
+        "//\n"
+    )
+
+
+def _make_gbff(tmp_path: Path, name: str = "GCF_000001_genomic.gbff",
+               n_extra_cds: int = 6) -> Path:
+    """Mock genome: 60nt 5'-flank + 129nt forward CDS + spacer + 90nt
+    reverse-strand CDS + extra forward CDS so the sequence-fallback split
+    yields non-empty val/test (mirrors the reference fixture shape)."""
+    fwd_cds = "ATG" + "GCT" * 41 + "TAA"          # 129 nt at [60, 189)
+    rev_core = "ATG" + "GGT" * 28 + "TGA"          # 90 nt coding
+    rev_cds = HybridTokenizer.reverse_complement(rev_core)  # genomic strand
+    seq = ("A" * 60) + fwd_cds + ("C" * 40) + rev_cds
+    rev_start = 60 + 129 + 40
+    locs = [
+        f"{60 + 1}..{60 + 129}",
+        f"complement({rev_start + 1}..{rev_start + 90})",
+    ]
+    bases = ("GCT", "GGT", "TGT", "ACT", "CCT", "TCT", "GTT", "CTT")
+    for i in range(n_extra_cds):
+        seq += "T" * 35
+        start = len(seq)
+        seq += "ATG" + bases[i % len(bases)] * (31 + i) + "TAA"
+        locs.append(f"{start + 1}..{len(seq)}")
+    seq += "G" * 70
+    path = tmp_path / name
+    path.write_text(_gbff_text("MOCK1", "GCF_000001.1", seq, locs))
+    return path
+
+
+class TestExtraction:
+    def test_genome_id_from_filename(self):
+        assert genome_id_from_path("x/GCF_000005845.2_ASM584v2_genomic.gbff") == "GCF_000005845.2"
+        assert genome_id_from_path("plain.gbff") == "plain"
+
+    def test_forward_and_reverse_flanks(self, tmp_path):
+        gbff = _make_gbff(tmp_path)
+        rows = extract_hybrid_flanked([gbff], min_len=90, upstream=30, downstream=60)
+        assert len(rows) == 8
+        fwd, rev = rows[0], rows[1]
+        # forward: 30nt upstream + 129 CDS + 60 downstream
+        assert (fwd["cds_start"], fwd["cds_end"]) == (30, 30 + 129)
+        assert fwd["sequence"][30:33] == "ATG"
+        assert fwd["sequence"][30 + 126:30 + 129] == "TAA"
+        assert len(fwd["sequence"]) == 30 + 129 + 60
+        # reverse: window reads in coding orientation after revcomp
+        assert rev["sequence"][rev["cds_start"]:rev["cds_start"] + 3] == "ATG"
+        assert rev["sequence"][rev["cds_end"] - 3:rev["cds_end"]] == "TGA"
+        assert all(r["genome"] == "GCF_000001" for r in rows)
+
+    def test_min_len_filters_short_cds(self, tmp_path):
+        gbff = _make_gbff(tmp_path)
+        rows = extract_hybrid_flanked([gbff], min_len=100)
+        # drops the 90nt reverse CDS and the 99nt first extra CDS
+        assert len(rows) == 6
+
+    def test_tokenize_round_trip(self, tmp_path):
+        gbff = _make_gbff(tmp_path)
+        rows = extract_hybrid_flanked([gbff])
+        lines, genomes = tokenize_hybrid_flanked(rows)
+        assert len(lines) == len(genomes) == 8
+        tok = HybridTokenizer()
+        ids = lines[0]
+        assert all(0 <= i < tok.vocab_size for i in ids)
+        # structure: <UTR_START> 30nt <UTR_END> <BOS_CDS> 43 codons <EOS_CDS> ...
+        assert ids[0] == tok.stoi["<UTR_START>"]
+        bos = ids.index(tok.stoi["<BOS_CDS>"])
+        assert ids[bos - 1] == tok.stoi["<UTR_END>"]
+        assert ids[bos + 1] == tok.stoi["ATG"]
+
+
+class TestPipeline:
+    def _cfg(self, gbff: Path, block: int = 128) -> dict:
+        return {
+            "block_size": block,
+            "windows_per_seq": 1,
+            "val_frac": 0.2,
+            "test_frac": 0.2,
+            "datasets": [{"name": "test_ds", "gbff": str(gbff), "min_len": 90}],
+        }
+
+    def test_end_to_end_artifacts(self, tmp_path):
+        gbff = _make_gbff(tmp_path)
+        run_dir = tmp_path / "runs" / "hyb"
+        result = prepare_hybrid_datasets(
+            self._cfg(gbff), run_dir, "hyb", out_root=tmp_path / "processed")
+
+        # per-dataset artifacts (reference layout)
+        ds_dir = tmp_path / "processed" / "test_ds_hybrid"
+        for fname in ("hybrid_data.tsv", "hybrid_meta.tsv", "hybrid_ids.txt",
+                      "vocab_hybrid.txt", "itos_hybrid.txt",
+                      "train_bs128.npz", "val_bs128.npz", "test_bs128.npz"):
+            assert (ds_dir / fname).exists(), fname
+        itos = [t for t in (ds_dir / "itos_hybrid.txt").read_text().splitlines() if t]
+        assert itos[:6] == EXPECTED_HYBRID_SPECIALS and len(itos) == 74
+
+        # run-dir manifests + integrity
+        for fname in ("datasets_manifest.json", "combined_manifest.json",
+                      "pipeline_prepare.json", "integrity.json"):
+            assert (run_dir / fname).exists(), fname
+        manifest = json.loads((run_dir / "combined_manifest.json").read_text())
+        with np.load(manifest["train"]) as blob:
+            X, Y = blob["X"], blob["Y"]
+            assert X.ndim == 2 and X.shape[1] == 128 and Y.shape == X.shape
+            assert np.all((X >= 0) & (X < 74))
+        integrity = json.loads((run_dir / "integrity.json").read_text())
+        assert all(v == 0 for v in integrity["empty_windows"].values())
+        # combined dir carries the trainer-consumable vocabulary
+        assert Path(result["itos"]).exists()
+
+    def test_skip_then_force_rebuild(self, tmp_path):
+        gbff = _make_gbff(tmp_path)
+        cfg = self._cfg(gbff)
+        out_root = tmp_path / "processed"
+        r1 = prepare_hybrid_datasets(cfg, tmp_path / "r1", "a", out_root=out_root)
+        assert r1["stages"][0]["rebuilt"] is True
+        r2 = prepare_hybrid_datasets(cfg, tmp_path / "r2", "b", out_root=out_root)
+        assert r2["stages"][0]["rebuilt"] is False
+        r3 = prepare_hybrid_datasets(cfg, tmp_path / "r3", "c", out_root=out_root,
+                                     force=True)
+        assert r3["stages"][0]["rebuilt"] is True
+
+    def test_inconsistent_itos_forces_retokenize(self, tmp_path):
+        gbff = _make_gbff(tmp_path)
+        cfg = self._cfg(gbff)
+        out_root = tmp_path / "processed"
+        prepare_hybrid_datasets(cfg, tmp_path / "r1", "a", out_root=out_root)
+        itos_path = out_root / "test_ds_hybrid" / "itos_hybrid.txt"
+        itos_path.write_text("<pad>\n<bos>\n<eos>\n")  # legacy specials
+        datasets = json.loads(
+            (tmp_path / "r1" / "datasets_manifest.json").read_text())["datasets"]
+        state = _itos_state(datasets)
+        assert state["bad_specials"] and state["force_retokenize"]
+        r = prepare_hybrid_datasets(cfg, tmp_path / "r2", "b", out_root=out_root)
+        assert r["stages"][0]["rebuilt"] is True
+        fixed = itos_path.read_text().splitlines()
+        assert fixed[:6] == EXPECTED_HYBRID_SPECIALS
+
+    def test_errors(self, tmp_path):
+        gbff = _make_gbff(tmp_path)
+        with pytest.raises(HybridPipelineError, match="missing keys"):
+            prepare_hybrid_datasets({"datasets": [{"name": "x"}]}, tmp_path, "a")
+        with pytest.raises(HybridPipelineError, match="not found"):
+            prepare_hybrid_datasets(
+                {"datasets": [{"name": "x", "gbff": "/nope.gbff"}]}, tmp_path, "a")
+        with pytest.raises(HybridPipelineError, match="windows_per_seq"):
+            prepare_hybrid_datasets(
+                {"windows_per_seq": "lots",
+                 "datasets": [{"name": "x", "gbff": str(gbff)}]}, tmp_path, "a")
+        with pytest.raises(HybridPipelineError, match="no datasets"):
+            prepare_hybrid_datasets({}, tmp_path, "a")
+
+    def test_pad_only_window_detection(self, tmp_path):
+        good = tmp_path / "good.npz"
+        np.savez(good, X=np.ones((2, 4), np.int32), Y=np.ones((2, 4), np.int32))
+        assert count_pad_only_windows(good) == 0
+        bad = tmp_path / "bad.npz"
+        Y = np.ones((3, 4), np.int32)
+        Y[1] = 0  # pad-only targets
+        np.savez(bad, X=np.ones((3, 4), np.int32), Y=Y)
+        assert count_pad_only_windows(bad) == 1
+        assert count_pad_only_windows(tmp_path / "missing.npz") == -1
+
+    def test_cli(self, tmp_path):
+        import yaml
+        from scripts.pipeline_prepare_hybrid import main
+
+        gbff = _make_gbff(tmp_path)
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.dump(self._cfg(gbff)))
+        run_dir = tmp_path / "run"
+        rc = main([
+            "--config", str(cfg_path), "--run-id", "cli", "--run-dir", str(run_dir),
+            "--out-root", str(tmp_path / "processed"),
+        ])
+        assert rc == 0
+        assert (run_dir / "pipeline_prepare.json").exists()
+
+    def test_extra_dataset_cli_spec(self, tmp_path):
+        import yaml
+        from scripts.pipeline_prepare_hybrid import main
+
+        gbff = _make_gbff(tmp_path)
+        extra = _make_gbff(tmp_path, name="GCF_000002_genomic.gbff")
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.dump(self._cfg(gbff)))
+        run_dir = tmp_path / "run"
+        rc = main([
+            "--config", str(cfg_path), "--run-id", "cli2", "--run-dir", str(run_dir),
+            "--out-root", str(tmp_path / "processed"),
+            "--extra-dataset", f"extra_ds,{extra},90",
+        ])
+        assert rc == 0
+        manifest = json.loads((run_dir / "combined_manifest.json").read_text())
+        assert {d["name"] for d in manifest["datasets"]} == {"test_ds", "extra_ds"}
+
+
+class TestHybridTraining:
+    def test_hybrid_model_trains_end_to_end(self, tmp_path):
+        """GBFF → prepare → run_training binds the 74-token hybrid vocabulary
+        and completes an epoch with finite losses (VERDICT r3 directive 2)."""
+        from genomics_lm_tpu.training.loop import run_training
+
+        gbff = _make_gbff(tmp_path)
+        cfg = {
+            "block_size": 64,
+            "windows_per_seq": 1,
+            "val_frac": 0.2,
+            "test_frac": 0.2,
+            "datasets": [{"name": "smoke", "gbff": str(gbff), "min_len": 90}],
+        }
+        result = prepare_hybrid_datasets(
+            cfg, tmp_path / "prep", "smoke", out_root=tmp_path / "processed")
+
+        train_cfg = dict(
+            train_npz=result["train_npz"],
+            val_npz=result["val_npz"],
+            itos_path=result["itos"],
+            block_size=64,
+            n_layer=1,
+            n_head=2,
+            n_embd=16,
+            dropout=0.0,
+            batch_size=2,
+            grad_accum_steps=1,
+            lr=1e-3,
+            epochs=1,
+            seed=0,
+            run_id="hybrid-smoke",
+            early_stop_patience=0,
+        )
+        meta = run_training(train_cfg, run_root=str(tmp_path / "runs"))
+        assert meta["status"] == "completed"
+        assert meta["model_spec"]["vocab_size"] == 74
+        assert np.isfinite(meta["last_val_loss"])
+        run_dir = tmp_path / "runs" / "hybrid-smoke"
+        assert (run_dir / "checkpoints" / "last.ckpt").exists() or any(
+            (run_dir / "checkpoints").glob("last*"))
+        itos_snapshot = (run_dir / "itos.txt").read_text().splitlines()
+        assert itos_snapshot[:6] == EXPECTED_HYBRID_SPECIALS
