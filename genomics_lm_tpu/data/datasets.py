@@ -290,15 +290,31 @@ class EpochPlan:
         return len(self.batches)
 
     def microbatches(
-        self, *, host_id: int = 0, n_hosts: int = 1, skip: int = 0
+        self, *, host_id: int = 0, n_hosts: int = 1, skip: int = 0,
+        pad_equal_shards: bool = False,
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Yield (x, y) host-local microbatches, optionally skipping the
-        first ``skip`` (mid-epoch resume)."""
+        first ``skip`` (mid-epoch resume).
+
+        ``pad_equal_shards`` pads each host's shard with all-PAD rows to
+        ``ceil(rows / n_hosts)`` so every process contributes an equal-shape
+        local portion when assembling one global array (multi-process
+        meshes); PAD rows carry no targets, so token-weighted reductions are
+        unchanged.
+        """
         for idx, (rows, width) in enumerate(self.batches):
             if idx < skip:
                 continue
             local_rows = rows[host_id::n_hosts]
             x, y = self.dataset.fetch_batch(local_rows, pad_to=width)
+            if pad_equal_shards and n_hosts > 1:
+                want = -(-len(rows) // n_hosts)
+                if x.shape[0] < want:
+                    pad = want - x.shape[0]
+                    x = np.concatenate(
+                        [x, np.zeros((pad,) + x.shape[1:], dtype=x.dtype)])
+                    y = np.concatenate(
+                        [y, np.zeros((pad,) + y.shape[1:], dtype=y.dtype)])
             yield x, y
 
 

@@ -347,6 +347,11 @@ def run_training(
 
     n_hosts = jax.process_count()
     host_id = jax.process_index()
+    if n_hosts > 1 and mesh is None:
+        raise ValueError(
+            "multi-process training requires a mesh spanning all processes; "
+            "without one each host would train independently on its loader shard"
+        )
     plan_probe = EpochPlan(
         train_ds, batch_size=batch_size, seed=seed, epoch=1,
         bucket_batching=bool(cfg.get("bucket_batching", False)),
@@ -375,6 +380,7 @@ def run_training(
 
     # --- mesh / sharding -----------------------------------------------------
     put_batch = jnp.asarray
+    put_eval = jnp.asarray
     pipeline = False
     stage_put = None
     if mesh is not None:
@@ -456,8 +462,39 @@ def run_training(
             else:
                 opt_state = jax.device_put(opt_state, rep)
 
+        if n_hosts > 1 and loss_cfg.replay_enabled:
+            raise ValueError(
+                "replay loss is not supported under multi-process meshes "
+                "(replay batches are fed host-local)"
+            )
+        if n_hosts > 1 and "data" not in mesh.shape:
+            raise ValueError(
+                "multi-process meshes need a 'data' axis to assemble global "
+                "batches from per-host loader shards"
+            )
+
         def put_batch(arr):  # noqa: F811
+            # Multi-process pods: each host contributes its loader shard as
+            # the process-local portion of ONE global array. The host split
+            # is strided over rows of each microbatch (datasets.EpochPlan),
+            # so the assembled global microbatch holds the same row SET as a
+            # single-host run in host-major order — every loss/metric is
+            # row-order invariant, so logged curves match single-host runs.
+            if n_hosts > 1:
+                return jax.make_array_from_process_local_data(
+                    group_sharding, np.ascontiguousarray(arr)
+                )
             return jax.device_put(jnp.asarray(arr), group_sharding)
+
+        if n_hosts > 1:
+            eval_sharding = NamedSharding(
+                mesh, P("data", None) if "data" in mesh.shape else P()
+            )
+
+            def put_eval(arr):
+                return jax.make_array_from_process_local_data(
+                    eval_sharding, np.ascontiguousarray(arr)
+                )
 
     if pipeline:
         from genomics_lm_tpu.parallel.pipeline import (
@@ -672,10 +709,16 @@ def run_training(
         )
         sums: dict[str, float] = {}
         n = 0
-        for x, y in plan.microbatches(host_id=host_id, n_hosts=n_hosts):
+        # Multi-process: every host must contribute an equal-row local shard
+        # for each global microbatch (PAD rows are loss-exact — the eval
+        # step's reductions are nonpad-token-weighted), and must never skip
+        # a batch another host evaluates.
+        for x, y in plan.microbatches(
+            host_id=host_id, n_hosts=n_hosts, pad_equal_shards=(n_hosts > 1)
+        ):
             if x.shape[0] == 0:
                 continue
-            out = eval_step(params, jnp.asarray(x), jnp.asarray(y))
+            out = eval_step(params, put_eval(x), put_eval(y))
             out = {k: float(v) for k, v in out.items()}
             for k, v in out.items():
                 sums[k] = sums.get(k, 0.0) + v

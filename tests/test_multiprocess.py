@@ -5,6 +5,12 @@ mesh, and run one data-parallel train step over a globally-sharded batch.
 Plus mesh-size-change resume: optimizer state saved under an 8-device
 ZeRO-1 sharding restores onto a 4-device mesh with identical next-step
 metrics vs an unsharded run.
+
+TestPodTopology exercises the real pod shape: 2 processes × 4 virtual
+devices each under a global (data=2, pipe=4) mesh — data crossing the
+process boundary, pipe inside each process — for both the raw PP×DP
+group step (with ZeRO-1 moments sharded across the boundary) and a full
+production-trainer epoch + resume.
 """
 
 import json
@@ -76,6 +82,105 @@ class TestTwoProcessDistributed:
         )
         np.testing.assert_allclose(
             records[0]["param_checksum"], ref["param_checksum"], rtol=1e-5
+        )
+
+
+class TestPodTopology:
+    """N procs × M devices each (VERDICT r3 directive 7): the global mesh is
+    (data=2, pipe=4) — the data axis crosses the process boundary (DCN
+    analog), pipeline stages stay inside each process (ICI analog) — i.e.
+    the layout the flagship PP config describes
+    (configs/stage2.6_large_12L8H_d512_pp4.yaml)."""
+
+    ENV = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+           "PYTHONPATH": str(REPO)}
+
+    def _spawn(self, script, extra, outs, port, nprocs=2, local=4,
+               timeout=420):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / script),
+                 str(i), str(nprocs), str(local), str(port),
+                 *extra, str(outs[i])],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=self.ENV,
+            )
+            for i in range(nprocs)
+        ]
+        for p in procs:
+            try:
+                _, err = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail(f"{script} workers timed out")
+            assert p.returncode == 0, err[-3000:]
+        return [json.loads(o.read_text()) for o in outs]
+
+    def test_pp_dp_step_parity_across_processes(self, tmp_path):
+        outs = [tmp_path / f"w{i}.json" for i in range(2)]
+        records = self._spawn("pod_worker.py", [], outs, free_port())
+        for r in records:
+            assert r["mesh_shape"] == {"data": 2, "pipe": 4}
+            assert r["local_devices"] == 4 and r["devices"] == 8
+            assert r["applied"] is True
+            # ZeRO-1 moments shard over BOTH axes across the process boundary
+            assert "pipe" in r["zero1_moment_spec"]
+            assert "data" in r["zero1_moment_spec"]
+        assert records[0]["losses"] == records[1]["losses"]
+        np.testing.assert_allclose(
+            records[0]["param_checksum"], records[1]["param_checksum"],
+            rtol=1e-6,
+        )
+
+        # parity vs ONE process owning the same 8-device global mesh
+        single_out = tmp_path / "single.json"
+        single = subprocess.run(
+            [sys.executable, str(REPO / "tests" / "pod_worker.py"),
+             "0", "1", "8", str(free_port()), str(single_out)],
+            capture_output=True, text=True, timeout=420, env=self.ENV,
+        )
+        assert single.returncode == 0, single.stderr[-3000:]
+        ref = json.loads(single_out.read_text())
+        np.testing.assert_allclose(records[0]["losses"], ref["losses"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            records[0]["param_checksum"], ref["param_checksum"], rtol=1e-5
+        )
+
+    def test_production_trainer_epoch_and_resume(self, tmp_path):
+        outs = [tmp_path / f"t{i}.json" for i in range(2)]
+        records = self._spawn(
+            "pod_trainer_worker.py", [str(tmp_path)], outs, free_port(),
+            timeout=600,
+        )
+        for r in records:
+            assert r["mesh_shape"] == {"data": 2, "pipe": 4}
+            assert r["epoch1"]["status"] == "completed"
+            assert r["epoch2"]["status"] == "completed"
+            assert r["epoch2"]["last_epoch"] == 2
+        # every host logs the same global metrics and writes identical curves
+        assert records[0]["curves"] == records[1]["curves"]
+        assert records[0]["epoch2"] == records[1]["epoch2"]
+
+        # and the whole 2-process run matches ONE process on the same mesh
+        single_out = tmp_path / "tsingle.json"
+        single = subprocess.run(
+            [sys.executable, str(REPO / "tests" / "pod_trainer_worker.py"),
+             "0", "1", "8", str(free_port()), str(tmp_path / "sgl"),
+             str(single_out)],
+            capture_output=True, text=True, timeout=600, env=self.ENV,
+        )
+        assert single.returncode == 0, single.stderr[-3000:]
+        ref = json.loads(single_out.read_text())
+        assert records[0]["curves"] == ref["curves"]
+        np.testing.assert_allclose(
+            records[0]["epoch2"]["last_val_loss"],
+            ref["epoch2"]["last_val_loss"], rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            records[0]["epoch2"]["last_train_loss"],
+            ref["epoch2"]["last_train_loss"], rtol=1e-6,
         )
 
 
