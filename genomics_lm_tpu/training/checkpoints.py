@@ -35,9 +35,23 @@ _META_ENTRY = "__meta__"
 _BFLOAT16_TAG = "bfloat16"
 
 
+def _host_materialize(x):
+    """Device → host copy that works for cross-process-sharded arrays.
+
+    A leaf sharded over a multi-process mesh axis (e.g. ZeRO-1 moments with
+    the data axis crossing hosts) is not fully addressable, so ``np.asarray``
+    raises; gather it collectively instead — every process must reach this
+    call in the same order (the trainer saves on all hosts symmetrically).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _to_numpy(x):
-    arr = np.asarray(x)
-    return arr
+    return _host_materialize(x)
 
 
 def _flatten(obj: Any, path: str, arrays: dict[str, np.ndarray]):
@@ -119,7 +133,7 @@ class AsyncCheckpointer:
     def save(self, payload: dict[str, Any], path: str | Path) -> None:
         self.wait()
         host_payload = jax.tree.map(
-            lambda v: np.asarray(v) if hasattr(v, "shape") else v, payload
+            lambda v: _host_materialize(v) if hasattr(v, "shape") else v, payload
         )
         self._pending = self._pool.submit(save_checkpoint, host_payload, path)
 

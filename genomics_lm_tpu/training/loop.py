@@ -613,11 +613,13 @@ def run_training(
     def host_layout(tree):
         """Host-side, checkpoint-layout copy: PP stage splits are merged so
         artifacts transplant/evaluate/resume anywhere (incl. a different
-        stage count — see parallel/pipeline.py merge_stage_params)."""
-        tree = jax.device_get(tree)
+        stage count — see parallel/pipeline.py merge_stage_params).
+        Cross-process-sharded leaves (ZeRO-1 over a multi-host data axis)
+        are gathered collectively, so every host stores the global value."""
+        tree = jax.tree.map(ckpt_lib._host_materialize, tree)
         if pipeline:
             tree = merge_stage_params(tree)
-        return jax.tree.map(np.asarray, tree)
+        return tree
 
     def make_checkpoint_payload(epoch_idx: int, **metrics) -> dict:
         val_loss = metrics.get("val_loss", float("inf"))

@@ -98,6 +98,10 @@ def main() -> int:
         seed=1337,
         run_id="pod-run",
         early_stop_patience=0,
+        # ZeRO-1 under PP x DP: AdamW stage moments shard over the data axis
+        # ACROSS the process boundary; checkpoint save must gather them
+        # collectively (checkpoints._host_materialize) and resume re-shards
+        shard_optimizer_state=True,
     )
     run_root = os.path.join(workdir, f"host{pid}" if nprocs > 1 else "single")
     meta1 = run_training(dict(cfg), run_root=run_root, mesh=mesh)
