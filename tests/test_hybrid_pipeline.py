@@ -241,6 +241,53 @@ class TestPipeline:
         assert {d["name"] for d in manifest["datasets"]} == {"test_ds", "extra_ds"}
 
 
+class TestReferenceInterop:
+    """The reference's ACTUAL ``hybrid_tokenize`` CLI (run from the mounted
+    checkout) consumes this repo's extraction TSV and produces exactly the
+    ids/itos this repo's tokenizer produces — proving both the TSV artifact
+    format and the token-id assignment are interchangeable. (The reference's
+    GBFF *extractor* needs BioPython, absent here; extraction geometry is
+    locked by TestExtraction's coordinate assertions instead.)"""
+
+    def test_reference_tokenizer_consumes_repo_tsv(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        ref_root = Path(os.environ.get("GENOMICS_REFERENCE_ROOT",
+                                       "/root/reference"))
+        if not (ref_root / "src" / "codonlm" / "hybrid_tokenize.py").exists():
+            pytest.skip("reference checkout unavailable")
+
+        from genomics_lm_tpu.data.hybrid_pipeline import _write_dataset_files
+
+        gbff = _make_gbff(tmp_path)
+        rows = extract_hybrid_flanked([gbff])
+        my_lines, _ = tokenize_hybrid_flanked(rows)
+        ds_dir = tmp_path / "ds"
+        _write_dataset_files(ds_dir, rows, my_lines, HybridTokenizer())
+
+        ref_ids = tmp_path / "ref_ids.txt"
+        ref_itos = tmp_path / "ref_itos.txt"
+        env = dict(os.environ, PYTHONPATH=str(ref_root))
+        res = subprocess.run(
+            [sys.executable, "-m", "src.codonlm.hybrid_tokenize",
+             "--inp", str(ds_dir / "hybrid_data.tsv"),
+             "--out_ids", str(ref_ids),
+             "--out_vocab", str(tmp_path / "ref_vocab.txt"),
+             "--out_itos", str(ref_itos)],
+            cwd=ref_root, capture_output=True, text=True, timeout=120, env=env)
+        assert res.returncode == 0, res.stderr[-2000:]
+
+        ref_lines = [
+            [int(t) for t in line.split()]
+            for line in ref_ids.read_text().splitlines() if line.strip()
+        ]
+        assert ref_lines == my_lines
+        ref_itos_toks = [t for t in ref_itos.read_text().splitlines() if t]
+        assert ref_itos_toks == HybridTokenizer().vocab
+
+
 class TestHybridTraining:
     def test_hybrid_model_trains_end_to_end(self, tmp_path):
         """GBFF → prepare → run_training binds the 74-token hybrid vocabulary
