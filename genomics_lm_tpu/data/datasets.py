@@ -291,17 +291,20 @@ class EpochPlan:
 
     def microbatches(
         self, *, host_id: int = 0, n_hosts: int = 1, skip: int = 0,
-        pad_equal_shards: bool = False,
+        pad_equal_shards: bool = False, shard_multiple: int = 1,
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Yield (x, y) host-local microbatches, optionally skipping the
         first ``skip`` (mid-epoch resume).
 
         ``pad_equal_shards`` pads each host's shard with all-PAD rows to
-        ``ceil(rows / n_hosts)`` so every process contributes an equal-shape
-        local portion when assembling one global array (multi-process
-        meshes); PAD rows carry no targets, so token-weighted reductions are
-        unchanged.
+        ``ceil(rows / n_hosts)`` — rounded up to a multiple of
+        ``shard_multiple`` (the host's data-axis device count, so the
+        assembled global batch tiles over every data shard) — so every
+        process contributes an equal-shape local portion when assembling one
+        global array (multi-process meshes); PAD rows carry no targets, so
+        token-weighted reductions are unchanged.
         """
+        mult = max(1, int(shard_multiple))
         for idx, (rows, width) in enumerate(self.batches):
             if idx < skip:
                 continue
@@ -309,6 +312,7 @@ class EpochPlan:
             x, y = self.dataset.fetch_batch(local_rows, pad_to=width)
             if pad_equal_shards and n_hosts > 1:
                 want = -(-len(rows) // n_hosts)
+                want = -(-want // mult) * mult
                 if x.shape[0] < want:
                     pad = want - x.shape[0]
                     x = np.concatenate(

@@ -381,7 +381,25 @@ def prepare_hybrid_datasets(
     for ds in datasets:
         built = all(Path(ds[k]).exists() for k in ("train", "val", "test"))
         tokenized = Path(ds["ids"]).exists() and Path(ds["itos"]).exists()
-        if force_all or not (built and tokenized):
+        # artifacts are reusable only when built under the SAME parameters —
+        # existence alone would silently stack stale packs after a
+        # pack_mode/flank/split change (and could mix array layouts)
+        fingerprint = {
+            "min_len": ds["min_len"],
+            "upstream": int(upstream),
+            "downstream": int(downstream),
+            "block_size": block_size,
+            "val_frac": val_frac,
+            "test_frac": test_frac,
+            "seed": seed,
+            "pack_mode": pack_mode,
+        }
+        fp_path = Path(ds["out_dir"]) / "build_params.json"
+        try:
+            params_match = json.loads(fp_path.read_text()) == fingerprint
+        except (OSError, json.JSONDecodeError):
+            params_match = False
+        if force_all or not (built and tokenized and params_match):
             rows = extract_hybrid_flanked(
                 [ds["gbff"]], min_len=ds["min_len"],
                 upstream=upstream, downstream=downstream)
@@ -391,6 +409,7 @@ def prepare_hybrid_datasets(
                 lines, genomes, ds["out_dir"], block_size=block_size,
                 val_frac=val_frac, test_frac=test_frac, seed=seed,
                 pack_mode=pack_mode)
+            fp_path.write_text(json.dumps(fingerprint, indent=2))
             stage_log.append({"name": ds["name"], "rebuilt": True,
                               "records": len(lines), **build})
         else:

@@ -315,7 +315,9 @@ def discover_manifest(dataset_paths: Iterable[str | Path]) -> Path | None:
         raise DatasetManifestError(
             f"cannot parse adjacent manifest {found}: {exc}"
         ) from exc
-    if not isinstance(payload, dict) or payload.get("schema") != SCHEMA_NAME:
+    schema = payload.get("schema") if isinstance(payload, dict) else None
+    schema_name = schema.get("name") if isinstance(schema, dict) else schema
+    if schema_name != SCHEMA_NAME:
         return None
     return found
 

@@ -28,6 +28,12 @@ MODEL_NAMES = ("Uniform", "Unigram", "Bigram", "Trigram")
 # the size of the temporary key arrays without a Python-level token loop.
 _FIT_CHUNK_TOKENS = 1 << 20
 
+# Above this vocabulary size the dense V³ trigram bincount table (V=256 →
+# 128 MiB int64) gives way to sparse np.unique accumulation keyed by packed
+# context — still vectorized per chunk, memory proportional to observed
+# contexts like the reference's dict-of-counts.
+_DENSE_VOCAB_LIMIT = 256
+
 
 def _row_contexts(xs, ys, reset_token_ids):
     """Yield per-row ``(prev2, prev, target)`` arrays for non-PAD targets.
@@ -66,9 +72,27 @@ def fit_baselines(
     if alpha <= 0:
         raise ValueError("alpha must be positive")
     V = int(vocab_size)
+    dense = V <= _DENSE_VOCAB_LIMIT
     uni_table = np.zeros(V, dtype=np.int64)
-    bi_table = np.zeros(V * V, dtype=np.int64)
-    tri_table = np.zeros(V * V * V, dtype=np.int64)
+    bi_table = np.zeros(V * V, dtype=np.int64) if dense else None
+    tri_table = np.zeros(V * V * V, dtype=np.int64) if dense else None
+    bi_sparse: dict[int, np.ndarray] = {}
+    tri_sparse: dict[int, np.ndarray] = {}
+
+    def _accumulate_sparse(ctx_keys, target, store) -> None:
+        # one pass of np.unique over packed (context, target) keys; the only
+        # Python loop is over DISTINCT contexts in this chunk
+        packed = ctx_keys * V + target
+        uniq, cnt = np.unique(packed, return_counts=True)
+        ctxs = uniq // V
+        tgts = uniq % V
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ctxs)) + 1, [uniq.size]))
+        for lo, hi in zip(starts[:-1], starts[1:]):
+            row = store.get(int(ctxs[lo]))
+            if row is None:
+                row = store[int(ctxs[lo])] = np.zeros(V, dtype=np.int64)
+            row[tgts[lo:hi]] += cnt[lo:hi]
 
     pending: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     pending_tokens = 0
@@ -81,10 +105,14 @@ def fit_baselines(
         prev = np.concatenate([p for _, p, _ in pending])
         target = np.concatenate([t for _, _, t in pending])
         uni_table[:] += np.bincount(target, minlength=V)
-        bi_table[:] += np.bincount(prev * V + target, minlength=V * V)
-        tri_table[:] += np.bincount(
-            (prev2 * V + prev) * V + target, minlength=V * V * V
-        )
+        if dense:
+            bi_table[:] += np.bincount(prev * V + target, minlength=V * V)
+            tri_table[:] += np.bincount(
+                (prev2 * V + prev) * V + target, minlength=V * V * V
+            )
+        else:
+            _accumulate_sparse(prev, target, bi_sparse)
+            _accumulate_sparse(prev2 * V + prev, target, tri_sparse)
         pending, pending_tokens = [], 0
 
     for triple in _row_contexts(xs, ys, reset_token_ids):
@@ -97,15 +125,22 @@ def fit_baselines(
     if int(uni_table.sum()) == 0:
         raise ValueError("training dataset has no evaluable non-PAD targets")
 
-    bi_table = bi_table.reshape(V, V)
-    tri_table = tri_table.reshape(V * V, V)
-    bigram = {
-        int(p): bi_table[p] for p in np.flatnonzero(bi_table.sum(axis=1))
-    }
-    trigram = {
-        (int(key // V), int(key % V)): tri_table[key]
-        for key in np.flatnonzero(tri_table.sum(axis=1))
-    }
+    if dense:
+        bi_table = bi_table.reshape(V, V)
+        tri_table = tri_table.reshape(V * V, V)
+        bigram = {
+            int(p): bi_table[p] for p in np.flatnonzero(bi_table.sum(axis=1))
+        }
+        trigram = {
+            (int(key // V), int(key % V)): tri_table[key]
+            for key in np.flatnonzero(tri_table.sum(axis=1))
+        }
+    else:
+        bigram = bi_sparse
+        trigram = {
+            (int(key // V), int(key % V)): row
+            for key, row in tri_sparse.items()
+        }
     return uni_table, bigram, trigram
 
 

@@ -184,14 +184,14 @@ def position_weight_matrix(sequences, vocab: list[str]) -> np.ndarray:
     return counts / len(sequences)
 
 
-def pwm_consensus(pwm: np.ndarray, vocab: list[str]) -> str:
-    """Highest-probability token per PWM column, concatenated.
+def pwm_consensus(pwm: np.ndarray, vocab: list[str], sep: str = "") -> str:
+    """Highest-probability token per PWM column, ``sep``-joined.
 
     Parity: reference ``src/eval/motif_analysis.py:35-41`` (``get_consensus``).
     """
     if pwm.size == 0:
         return ""
-    return "".join(vocab[i] for i in np.argmax(pwm, axis=0))
+    return sep.join(vocab[i] for i in np.argmax(pwm, axis=0))
 
 
 def pwm_entropy(pwm: np.ndarray) -> np.ndarray:
@@ -247,9 +247,7 @@ def cluster_pwm_report(
         entropy = pwm_entropy(pwm)
         info = pwm_information_content(pwm, len(vocab))
         report[label] = {
-            "pwm_consensus": " ".join(
-                vocab[i] for i in np.argmax(pwm, axis=0)
-            ) if pwm.size else "",
+            "pwm_consensus": pwm_consensus(pwm, vocab, sep=" "),
             "mean_entropy_bits": float(entropy.mean()) if entropy.size else 0.0,
             "min_entropy_bits": float(entropy.min()) if entropy.size else 0.0,
             "information_content_bits": float(info.sum()) if info.size else 0.0,

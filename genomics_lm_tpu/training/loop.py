@@ -381,6 +381,7 @@ def run_training(
     # --- mesh / sharding -----------------------------------------------------
     put_batch = jnp.asarray
     put_eval = jnp.asarray
+    eval_shard_multiple = 1
     pipeline = False
     stage_put = None
     if mesh is not None:
@@ -490,6 +491,9 @@ def run_training(
             eval_sharding = NamedSharding(
                 mesh, P("data", None) if "data" in mesh.shape else P()
             )
+            # each host's eval shard must tile over ITS data-axis devices
+            # so the assembled global batch divides over every data shard
+            eval_shard_multiple = max(1, n_dp // n_hosts)
 
             def put_eval(arr):
                 return jax.make_array_from_process_local_data(
@@ -716,7 +720,8 @@ def run_training(
         # step's reductions are nonpad-token-weighted), and must never skip
         # a batch another host evaluates.
         for x, y in plan.microbatches(
-            host_id=host_id, n_hosts=n_hosts, pad_equal_shards=(n_hosts > 1)
+            host_id=host_id, n_hosts=n_hosts, pad_equal_shards=(n_hosts > 1),
+            shard_multiple=eval_shard_multiple,
         ):
             if x.shape[0] == 0:
                 continue
@@ -846,11 +851,38 @@ def run_training(
                             f"[train] progress: {mb_index}/{microbatches_per_epoch} "
                             f"speed: {mb_seen * batch_size / max(elapsed, 1e-9):.2f} seq/sec"
                         )
-                    if applied and periodic_ckpt.should_save(step):
+                    periodic_due = applied and periodic_ckpt.should_save(step)
+                    wall_due = wall_timer.expired()
+                    preempt_due = preemption.requested
+                    if n_hosts > 1:
+                        # Time/signal triggers are per-host-asymmetric
+                        # (local clocks; SIGTERM lands on one process) while
+                        # the checkpoint path is collective — every host
+                        # must take the SAME save/stop decision at the SAME
+                        # group boundary or the pod deadlocks on mismatched
+                        # collectives. Agree by max over hosts; the
+                        # allgather must itself run unconditionally on every
+                        # host (a data-dependent entry would be the very
+                        # mismatch it guards against).
+                        from jax.experimental import multihost_utils
+
+                        bits = np.int32(
+                            (1 if periodic_due else 0)
+                            | (2 if wall_due else 0)
+                            | (4 if preempt_due else 0)
+                        )
+                        bits = int(np.max(multihost_utils.process_allgather(bits)))
+                        periodic_due = bool(bits & 1)
+                        wall_due = bool(bits & 2)
+                        preempt_due = bool(bits & 4)
+                    if periodic_due:
                         jax.block_until_ready(params)
                         save_last(epoch_idx, reason="periodic")
-                    wall_timer.check()
-                    preemption.check()
+                    if wall_due:
+                        raise WallTimeLimitException()
+                    if preempt_due:
+                        preemption.check()
+                        raise PreemptionRequested("preempted on a peer host")
 
             mem = device_memory_stats()
             if mem.get("peak_bytes_in_use"):
@@ -997,8 +1029,11 @@ def run_training(
             status = "failed"
             failure = exc
             print(f"[error] training failed: {exc}", file=sys.stderr)
+    finally:
+        # restore prior signal handlers even on BaseException unwinds, so a
+        # later SIGTERM is never swallowed by a stale flag-only handler
+        preemption.uninstall()
 
-    preemption.uninstall()
     total_time = time.perf_counter() - train_wall0
     meta = {
         "run_id": run_dir.name,

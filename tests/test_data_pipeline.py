@@ -86,6 +86,34 @@ class TestPrepareDataset:
         np.testing.assert_array_equal(x1, x2)
         np.testing.assert_array_equal(y1, y2)
 
+    def test_discover_manifest_binds_real_manifests_only(self, tmp_path):
+        """Adjacent discovery finds true dataset manifests (dict schema),
+        skips path-index manifests (the hybrid combined manifest.json), and
+        still fails closed on unparseable files."""
+        import json
+
+        import pytest
+
+        prepare_dataset(make_records(), tmp_path / "ds", block_size=32,
+                        pack_mode="multi", skip_homology=True)
+        ds_dir = tmp_path / "ds"
+        found = manifest_lib.discover_manifest([ds_dir / "train_bs32.npz"])
+        assert found == (ds_dir / "manifest.json").resolve()
+
+        # a hybrid combined manifest (path index, no dataset schema) is not
+        # discovered as a dataset contract
+        hyb = tmp_path / "hyb"
+        hyb.mkdir()
+        (hyb / "train.npz").write_bytes(b"")
+        (hyb / "manifest.json").write_text(json.dumps(
+            {"train": "train.npz", "datasets": []}))
+        assert manifest_lib.discover_manifest([hyb / "train.npz"]) is None
+
+        # unparseable adjacent manifest still raises
+        (hyb / "manifest.json").write_text("{not json")
+        with pytest.raises(manifest_lib.DatasetManifestError):
+            manifest_lib.discover_manifest([hyb / "train.npz"])
+
     def test_full_pipeline_binpack(self, tmp_path):
         """binpack mode flows through prepare: manifest revalidates, padding
         never exceeds arrival-order packing's."""

@@ -93,6 +93,33 @@ class TestMarkov:
         tri = counts[2]
         assert (0, 4) in tri
 
+    def test_sparse_path_matches_dense(self):
+        """Above _DENSE_VOCAB_LIMIT the V^3 bincount cube gives way to
+        sparse np.unique accumulation — same counts, same perplexities."""
+        rng = np.random.default_rng(1)
+        xs = rng.integers(4, 60, (20, 32))
+        ys = np.roll(xs, -1, axis=1)
+        ys[:, -1] = 0
+        dense = markov.fit_baselines(xs, ys, 68)
+        sparse_v = markov._DENSE_VOCAB_LIMIT + 44  # 300 > limit, same ids fit
+        sparse = markov.fit_baselines(xs, ys, sparse_v)
+        np.testing.assert_array_equal(dense[0], sparse[0][:68])
+        assert set(dense[1]) == set(sparse[1])
+        for p, row in dense[1].items():
+            np.testing.assert_array_equal(row, sparse[1][p][:68])
+            assert int(sparse[1][p][68:].sum()) == 0
+        assert set(dense[2]) == set(sparse[2])
+        for ctx, row in dense[2].items():
+            np.testing.assert_array_equal(row, sparse[2][ctx][:68])
+        # perplexities agree when evaluated at the shared vocab size
+        r_dense, t1, _ = markov.evaluate_baselines(xs, ys, dense, 68)
+        r2, t2, _ = markov.evaluate_baselines(
+            xs, ys, markov.fit_baselines(xs, ys, 68), 68)
+        assert t1 == t2
+        for name in markov.MODEL_NAMES:
+            assert r_dense[name]["cross_entropy_nats"] == pytest.approx(
+                r2[name]["cross_entropy_nats"])
+
 
 class TestPerplexityEval:
     def test_evaluate_perplexity(self, tmp_path):

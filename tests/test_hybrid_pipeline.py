@@ -166,6 +166,26 @@ class TestPipeline:
                                      force=True)
         assert r3["stages"][0]["rebuilt"] is True
 
+    def test_parameter_change_forces_rebuild(self, tmp_path):
+        """Stage-skip keys on a build-parameter fingerprint, not bare
+        artifact existence — a pack_mode/flank change must not silently
+        reuse stale packs."""
+        gbff = _make_gbff(tmp_path)
+        cfg = self._cfg(gbff)
+        out_root = tmp_path / "processed"
+        prepare_hybrid_datasets(cfg, tmp_path / "r1", "a", out_root=out_root)
+        r2 = prepare_hybrid_datasets(cfg, tmp_path / "r2", "b",
+                                     out_root=out_root, pack_mode="binpack")
+        assert r2["stages"][0]["rebuilt"] is True
+        r3 = prepare_hybrid_datasets(cfg, tmp_path / "r3", "c",
+                                     out_root=out_root, pack_mode="binpack",
+                                     upstream=10)
+        assert r3["stages"][0]["rebuilt"] is True
+        r4 = prepare_hybrid_datasets(cfg, tmp_path / "r4", "d",
+                                     out_root=out_root, pack_mode="binpack",
+                                     upstream=10)
+        assert r4["stages"][0]["rebuilt"] is False
+
     def test_inconsistent_itos_forces_retokenize(self, tmp_path):
         gbff = _make_gbff(tmp_path)
         cfg = self._cfg(gbff)
