@@ -144,8 +144,17 @@ def _matched_config(dataset_dir: Path, block_size: int, args) -> dict:
 
 
 def train_reference(workdir: Path, dataset_dir: Path, shared: dict,
-                    torch_init: Path, *, ref_root: Path) -> dict:
-    """Run the actual reference trainer as a subprocess (torch CPU)."""
+                    torch_init: Path, *, ref_root: Path,
+                    timeout_s: int = 14400) -> dict:
+    """Run the actual reference trainer as a subprocess (torch CPU).
+
+    Resumable: when the reference workspace already holds a ``last.pt``
+    (e.g. a prior invocation hit ``timeout_s`` mid-run at a large model
+    size), the subprocess resumes through the reference's own resume
+    protocol instead of restarting from the transplanted init — the
+    prep stages are seed-deterministic, so the rerun's dataset/config
+    fingerprints match what the checkpoint recorded.
+    """
     import yaml
 
     ws = workdir / "ref_ws"
@@ -173,13 +182,18 @@ def train_reference(workdir: Path, dataset_dir: Path, shared: dict,
         "--val_npz", str(dataset_dir / f"val_bs{block}.npz"),
         "--test_npz", str(dataset_dir / f"test_bs{block}.npz"),
         "--run_id", "equivalence-ref",
-        "--transfer_from", str(torch_init),
     ]
+    prior_last = ws / "runs" / "equivalence-ref" / "checkpoints" / "last.pt"
+    if prior_last.exists():
+        print(f"      resuming reference trainer from {prior_last}")
+        cmd += ["--resume", str(prior_last)]
+    else:
+        cmd += ["--transfer_from", str(torch_init)]
     env = dict(os.environ)
     env["PYTHONPATH"] = str(ref_root)
     env.pop("JAX_PLATFORMS", None)
     result = subprocess.run(
-        cmd, cwd=ws, env=env, capture_output=True, text=True, timeout=3600
+        cmd, cwd=ws, env=env, capture_output=True, text=True, timeout=timeout_s
     )
     if result.returncode != 0:
         raise RuntimeError(
@@ -351,7 +365,8 @@ def run_equivalence(args) -> dict:
 
     print("[3/5] reference trainer (torch CPU subprocess)")
     ref_out = train_reference(workdir, dataset_dir, shared, torch_init,
-                              ref_root=reference_root())
+                              ref_root=reference_root(),
+                              timeout_s=int(args.ref_timeout))
     print(f"      logged final val: {ref_out['logged_final_val']:.6f} "
           f"({ref_out['epochs_logged']} epochs)")
 
@@ -390,6 +405,9 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--fresh", action="store_true",
                     help="delete the workdir before running")
+    ap.add_argument("--ref_timeout", type=int, default=14400,
+                    help="seconds allowed for the reference torch-CPU "
+                         "subprocess (resumes from its last.pt on rerun)")
     args = ap.parse_args(argv)
     report = run_equivalence(args)
     return 0 if report["all_gates_pass"] else 1
