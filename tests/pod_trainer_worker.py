@@ -8,7 +8,14 @@ and each host writes an identical run directory (its own ``run_root``,
 modeling per-host local disk).
 
 Usage: python pod_trainer_worker.py <pid> <nprocs> <local_devices> <port>
-                                    <workdir> <out_json>
+                                    <workdir> <out_json> [mode]
+
+``mode`` defaults to "epochs" (1 epoch + resume for a 2nd). Mode
+"preempt" trains with an unreachable epoch target; the PARENT sends
+SIGTERM to process 0 only — the per-group trigger consensus must stop
+BOTH processes at the same group boundary with a preemption checkpoint,
+after which each worker resumes its own checkpoint to a clean 1-epoch
+completion.
 """
 
 import json
@@ -103,12 +110,39 @@ def main() -> int:
         # collectively (checkpoints._host_materialize) and resume re-shards
         shard_optimizer_state=True,
     )
+    mode = sys.argv[7] if len(sys.argv) > 7 else "epochs"
     run_root = os.path.join(workdir, f"host{pid}" if nprocs > 1 else "single")
+    last = os.path.join(run_root, "pod-run", "checkpoints", "last.npz")
+
+    if mode == "preempt":
+        from genomics_lm_tpu.training.checkpoints import load_checkpoint_meta
+
+        # unreachable target; the parent preempts process 0 mid-training
+        meta1 = run_training(dict(cfg, epochs=10000), run_root=run_root,
+                             mesh=mesh)
+        reason = load_checkpoint_meta(last).get("checkpoint_reason")
+        # resume the preempted run to a clean 1-epoch completion
+        meta2 = run_training(dict(cfg, epochs=1), run_root=run_root,
+                             mesh=mesh, resume=last)
+        record = {
+            "process_id": pid,
+            "num_processes": jax.process_count(),
+            "preempt_status": meta1["status"],
+            "preempted_by_signal": meta1.get("preempted_by_signal"),
+            "checkpoint_reason": reason,
+            "resume_status": meta2["status"],
+            "resume_val_loss": meta2["last_val_loss"],
+            "curves": open(os.path.join(
+                run_root, "pod-run", "scores", "curves.csv")).read(),
+        }
+        with open(out_path, "w") as fh:
+            json.dump(record, fh)
+        return 0
+
     meta1 = run_training(dict(cfg), run_root=run_root, mesh=mesh)
 
     # resume for one more epoch from this host's own checkpoint
     cfg2 = dict(cfg, epochs=2)
-    last = os.path.join(run_root, "pod-run", "checkpoints", "last.npz")
     meta2 = run_training(cfg2, run_root=run_root, mesh=mesh, resume=last)
 
     curves = open(os.path.join(run_root, "pod-run", "scores", "curves.csv")).read()

@@ -184,6 +184,76 @@ class TestPodTopology:
         )
 
 
+class TestPodPreemption:
+    """SIGTERM lands on ONE process of a 2-process pod; the per-group
+    trigger consensus (training/loop.py) must stop BOTH processes at the
+    same group boundary with a preemption checkpoint — per-host-asymmetric
+    stops would deadlock the pod's collectives. Both hosts then resume
+    their own checkpoint to identical clean completions."""
+
+    def test_sigterm_on_one_host_stops_both_and_resumes(self, tmp_path):
+        import os
+        import threading
+        import time
+
+        env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+               "PYTHONPATH": str(REPO), "PYTHONUNBUFFERED": "1"}
+        port = free_port()
+        outs = [tmp_path / f"p{i}.json" for i in range(2)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "pod_trainer_worker.py"),
+                 str(i), "2", "4", str(port), str(tmp_path), str(outs[i]),
+                 "preempt"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+
+        # watch process 0's stdout; signal it shortly after training starts
+        started = threading.Event()
+        captured = []
+
+        def watch():
+            for line in procs[0].stdout:
+                captured.append(line)
+                if "[train] starting:" in line:
+                    started.set()
+
+        watcher = threading.Thread(target=watch, daemon=True)
+        watcher.start()
+        assert started.wait(timeout=240), (
+            "trainer never started: " + "".join(captured)[-2000:])
+        time.sleep(3.0)  # let the first group(s) compile/commit
+        os.kill(procs[0].pid, __import__("signal").SIGTERM)
+
+        for p in procs:
+            try:
+                _, err = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("pod did not stop after single-host SIGTERM "
+                            "(trigger consensus failed)")
+            assert p.returncode == 0, err[-3000:]
+
+        records = [json.loads(o.read_text()) for o in outs]
+        for r in records:
+            assert r["preempt_status"] == "stopped"
+            assert r["checkpoint_reason"] == "preempted"
+            assert r["resume_status"] == "completed"
+        # only host 0 received the signal; host 1 stopped via consensus
+        assert records[0]["preempted_by_signal"] is not None
+        assert records[1]["preempted_by_signal"] is None
+        # both resumed to identical global metrics and curves
+        assert records[0]["curves"] == records[1]["curves"]
+        np.testing.assert_allclose(
+            records[0]["resume_val_loss"], records[1]["resume_val_loss"],
+            rtol=0,
+        )
+
+
 class TestMeshSizeChangeResume:
     def _run_steps(self, mesh, params, opt_state, step, batches, key):
         import jax
