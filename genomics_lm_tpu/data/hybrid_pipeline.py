@@ -400,6 +400,9 @@ def prepare_hybrid_datasets(
         except (OSError, json.JSONDecodeError):
             params_match = False
         if force_all or not (built and tokenized and params_match):
+            # invalidate BEFORE touching artifacts: an interrupted rebuild
+            # must not leave the old fingerprint validating a mixed set
+            fp_path.unlink(missing_ok=True)
             rows = extract_hybrid_flanked(
                 [ds["gbff"]], min_len=ds["min_len"],
                 upstream=upstream, downstream=downstream)

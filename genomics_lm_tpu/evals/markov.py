@@ -162,6 +162,33 @@ def _dense_tables(counts, vocab_size: int):
     return uni, bi, tri
 
 
+def _sparse_lookup(store: dict, totals: dict, ctx: np.ndarray,
+                   target: np.ndarray):
+    """``(count[ctx, target], total[ctx], seen[ctx])`` from dict-of-rows.
+
+    Vectorized per chunk: positions are grouped by DISTINCT context (the
+    only Python loop), so memory and time follow observed contexts — the
+    sparse-eval counterpart of the dense table gathers.
+    """
+    count = np.zeros(ctx.shape, dtype=np.float64)
+    total = np.zeros(ctx.shape, dtype=np.float64)
+    seen = np.zeros(ctx.shape, dtype=bool)
+    order = np.argsort(ctx, kind="stable")
+    sorted_ctx = ctx[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(np.diff(sorted_ctx)) + 1, [ctx.size]))
+    for lo, hi in zip(starts[:-1], starts[1:]):
+        key = int(sorted_ctx[lo])
+        row = store.get(key)
+        if row is None:
+            continue
+        idx = order[lo:hi]
+        count[idx] = row[target[idx]]
+        total[idx] = totals[key]
+        seen[idx] = totals[key] > 0
+    return count, total, seen
+
+
 def evaluate_baselines(
     xs: np.ndarray,
     ys: np.ndarray,
@@ -174,10 +201,26 @@ def evaluate_baselines(
     """Per-model NLL/PPL/bits + improvement over the best simple model."""
     V = int(vocab_size)
     active = V - 1
-    uni, bi, tri = _dense_tables(counts, V)
-    uni_total = uni[1:].sum()
-    bi_totals = bi[:, 1:].sum(axis=1)
-    tri_totals = tri[:, 1:].sum(axis=1)
+    dense = V <= _DENSE_VOCAB_LIMIT
+    if dense:
+        uni, bi, tri = _dense_tables(counts, V)
+        uni_total = uni[1:].sum()
+        bi_totals = bi[:, 1:].sum(axis=1)
+        tri_totals = tri[:, 1:].sum(axis=1)
+    else:
+        # above the dense-table bound, gather from the sparse fitted dicts
+        # directly (the dense V² / V³ expansions are exactly what the
+        # sparse fit path exists to avoid)
+        unigram_counts, bigram_store, trigram_tuple_store = counts
+        uni = np.asarray(unigram_counts, dtype=np.float64)
+        uni_total = uni[1:].sum()
+        bigram_store = {int(p): np.asarray(r) for p, r in bigram_store.items()}
+        trigram_store = {
+            int(p2) * V + int(p): np.asarray(r)
+            for (p2, p), r in trigram_tuple_store.items()
+        }
+        bi_row_totals = {k: float(r[1:].sum()) for k, r in bigram_store.items()}
+        tri_row_totals = {k: float(r[1:].sum()) for k, r in trigram_store.items()}
     smooth = alpha * active
 
     nll = dict.fromkeys(MODEL_NAMES, 0.0)
@@ -188,17 +231,25 @@ def evaluate_baselines(
         nll["Unigram"] -= float(
             np.log((uni[target] + alpha) / (uni_total + smooth)).sum()
         )
-        bi_count = bi[prev, target]
-        bi_total = bi_totals[prev]
+        if dense:
+            bi_count = bi[prev, target]
+            bi_total = bi_totals[prev]
+            context = prev2 * V + prev
+            seen = tri_totals[context] > 0
+            tri_count_raw = tri[context, target]
+            tri_total_raw = tri_totals[context]
+        else:
+            bi_count, bi_total, _ = _sparse_lookup(
+                bigram_store, bi_row_totals, prev, target)
+            tri_count_raw, tri_total_raw, seen = _sparse_lookup(
+                trigram_store, tri_row_totals, prev2 * V + prev, target)
         nll["Bigram"] -= float(
             np.log((bi_count + alpha) / (bi_total + smooth)).sum()
         )
         # Trigram with backoff: contexts never seen in training fall back to
         # the bigram row for the same ``prev`` (reference backoff branch).
-        context = prev2 * V + prev
-        seen = tri_totals[context] > 0
-        tri_count = np.where(seen, tri[context, target], bi_count)
-        tri_total = np.where(seen, tri_totals[context], bi_total)
+        tri_count = np.where(seen, tri_count_raw, bi_count)
+        tri_total = np.where(seen, tri_total_raw, bi_total)
         nll["Trigram"] -= float(
             np.log((tri_count + alpha) / (tri_total + smooth)).sum()
         )

@@ -854,11 +854,19 @@ def run_training(
                     periodic_due = applied and periodic_ckpt.should_save(step)
                     if hasattr(wall_timer, "expired"):
                         wall_due = wall_timer.expired()
-                    else:
-                        # duck-typed fake timers (engine-test pattern) raise
-                        # from check() directly; keep that contract
+                    elif n_hosts == 1:
+                        # duck-typed fake timers (tests/dryrun monkeypatch
+                        # loop.WallTimer) raise from check() directly; keep
+                        # that contract — but only single-host, where an
+                        # immediate raise cannot desync pod collectives
                         wall_timer.check()
                         wall_due = False
+                    else:
+                        raise TypeError(
+                            "multi-process training requires a wall timer "
+                            "with a non-raising expired() probe (trigger "
+                            "decisions must go through the host consensus)"
+                        )
                     preempt_due = preemption.requested
                     if n_hosts > 1:
                         # Time/signal triggers are per-host-asymmetric

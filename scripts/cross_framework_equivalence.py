@@ -183,8 +183,20 @@ def train_reference(workdir: Path, dataset_dir: Path, shared: dict,
         "--test_npz", str(dataset_dir / f"test_bs{block}.npz"),
         "--run_id", "equivalence-ref",
     ]
-    prior_last = ws / "runs" / "equivalence-ref" / "checkpoints" / "last.pt"
-    if prior_last.exists():
+    run_dir = ws / "runs" / "equivalence-ref"
+    prior_last = run_dir / "checkpoints" / "last.pt"
+    prior_cfg_path = run_dir / "checkpoints" / "config.yaml"
+    resume = False
+    if prior_last.exists() and prior_cfg_path.exists():
+        # resume is only valid when the prior run trained THIS config —
+        # a rerun with changed model/training args must retrain, not
+        # silently continue the old config's checkpoint
+        prior_cfg = yaml.safe_load(prior_cfg_path.read_text()) or {}
+        resume = all(prior_cfg.get(k) == v for k, v in cfg.items())
+    if prior_last.exists() and not resume:
+        print("      prior reference run has a different config; retraining")
+        shutil.rmtree(run_dir)
+    if resume:
         print(f"      resuming reference trainer from {prior_last}")
         cmd += ["--resume", str(prior_last)]
     else:

@@ -120,9 +120,13 @@ def main() -> int:
         # unreachable target; the parent preempts process 0 mid-training
         meta1 = run_training(dict(cfg, epochs=10000), run_root=run_root,
                              mesh=mesh)
-        reason = load_checkpoint_meta(last).get("checkpoint_reason")
-        # resume the preempted run to a clean 1-epoch completion
-        meta2 = run_training(dict(cfg, epochs=1), run_root=run_root,
+        ckpt_meta = load_checkpoint_meta(last)
+        reason = ckpt_meta.get("checkpoint_reason")
+        # resume the preempted run to a clean one-more-epoch completion
+        # (target derived from the checkpoint — the signal may land after
+        # any number of completed epochs)
+        target = int(ckpt_meta.get("epoch", 0)) + 1
+        meta2 = run_training(dict(cfg, epochs=target), run_root=run_root,
                              mesh=mesh, resume=last)
         record = {
             "process_id": pid,

@@ -111,14 +111,23 @@ class TestMarkov:
         assert set(dense[2]) == set(sparse[2])
         for ctx, row in dense[2].items():
             np.testing.assert_array_equal(row, sparse[2][ctx][:68])
-        # perplexities agree when evaluated at the shared vocab size
-        r_dense, t1, _ = markov.evaluate_baselines(xs, ys, dense, 68)
-        r2, t2, _ = markov.evaluate_baselines(
-            xs, ys, markov.fit_baselines(xs, ys, 68), 68)
-        assert t1 == t2
+        # end-to-end fit+evaluate at V>LIMIT: sparse path must reproduce the
+        # dense path exactly (dense forced by raising the limit)
+        sparse_counts = markov.fit_baselines(xs, ys, sparse_v)
+        r_sparse, t1, best1 = markov.evaluate_baselines(
+            xs, ys, sparse_counts, sparse_v)
+        old = markov._DENSE_VOCAB_LIMIT
+        try:
+            markov._DENSE_VOCAB_LIMIT = sparse_v + 1
+            dense_counts = markov.fit_baselines(xs, ys, sparse_v)
+            r_dense, t2, best2 = markov.evaluate_baselines(
+                xs, ys, dense_counts, sparse_v)
+        finally:
+            markov._DENSE_VOCAB_LIMIT = old
+        assert t1 == t2 and best1 == best2
         for name in markov.MODEL_NAMES:
-            assert r_dense[name]["cross_entropy_nats"] == pytest.approx(
-                r2[name]["cross_entropy_nats"])
+            assert r_sparse[name]["cross_entropy_nats"] == pytest.approx(
+                r_dense[name]["cross_entropy_nats"], rel=1e-12)
 
 
 class TestPerplexityEval:

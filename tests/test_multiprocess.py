@@ -211,7 +211,9 @@ class TestPodPreemption:
             for i in range(2)
         ]
 
-        # watch process 0's stdout; signal it shortly after training starts
+        # watch process 0's stdout (this thread OWNS that stream — the
+        # join below, not communicate(), drains it); signal shortly after
+        # training starts
         started = threading.Event()
         captured = []
 
@@ -223,20 +225,27 @@ class TestPodPreemption:
 
         watcher = threading.Thread(target=watch, daemon=True)
         watcher.start()
-        assert started.wait(timeout=240), (
-            "trainer never started: " + "".join(captured)[-2000:])
-        time.sleep(3.0)  # let the first group(s) compile/commit
-        os.kill(procs[0].pid, __import__("signal").SIGTERM)
+        try:
+            if not started.wait(timeout=240):
+                pytest.fail(
+                    "trainer never started: " + "".join(captured)[-2000:])
+            time.sleep(3.0)  # let the first group(s) compile/commit
+            os.kill(procs[0].pid, __import__("signal").SIGTERM)
 
-        for p in procs:
             try:
-                _, err = p.communicate(timeout=420)
+                procs[0].wait(timeout=420)
+                _, err1 = procs[1].communicate(timeout=420)
             except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
                 pytest.fail("pod did not stop after single-host SIGTERM "
                             "(trigger consensus failed)")
-            assert p.returncode == 0, err[-3000:]
+            watcher.join(timeout=30)
+            err0 = procs[0].stderr.read()
+            assert procs[0].returncode == 0, err0[-3000:]
+            assert procs[1].returncode == 0, err1[-3000:]
+        finally:
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
 
         records = [json.loads(o.read_text()) for o in outs]
         for r in records:
