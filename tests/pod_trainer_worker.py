@@ -15,7 +15,10 @@ Usage: python pod_trainer_worker.py <pid> <nprocs> <local_devices> <port>
 SIGTERM to process 0 only — the per-group trigger consensus must stop
 BOTH processes at the same group boundary with a preemption checkpoint,
 after which each worker resumes its own checkpoint to a clean 1-epoch
-completion.
+completion. Mode "dp" builds a PURE data-parallel mesh (data=8 over both
+processes' devices, n_dp > n_hosts): each host's loader shard covers 4
+device shards, and a ragged final validation batch exercises the
+shard-multiple PAD padding.
 """
 
 import json
@@ -58,14 +61,23 @@ def main() -> int:
     from genomics_lm_tpu.tokenizers.codon import write_itos
     from genomics_lm_tpu.training.loop import run_training
 
-    grid = np.asarray(jax.devices()).reshape(DP, PP)
-    mesh = Mesh(grid, ("data", "pipe"))
+    mode = sys.argv[7] if len(sys.argv) > 7 else "epochs"
+    if mode == "dp":
+        # PURE data parallelism: all 8 devices on one data axis, so
+        # n_dp (8) exceeds n_hosts (2) — each host's loader shard covers
+        # 4 device shards of every global batch
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    else:
+        grid = np.asarray(jax.devices()).reshape(DP, PP)
+        mesh = Mesh(grid, ("data", "pipe"))
 
     # same fixture on every host (content-addressed by seed)
-    ws = os.path.join(workdir, "shared")
+    ws = os.path.join(workdir, f"shared_{mode}")
     os.makedirs(ws, exist_ok=True)
     rng = np.random.default_rng(11)
-    for name, n in [("train", 32), ("val", 8)]:
+    # dp mode: 10 val rows → the second val batch has 2 rows, exercising
+    # the equal-host-shard PAD padding to the per-host device multiple
+    for name, n in [("train", 32), ("val", 10 if mode == "dp" else 8)]:
         path = os.path.join(ws, f"{name}.npz")
         if pid == 0 and not os.path.exists(path):
             X = rng.integers(4, 68, (n, 16)).astype(np.int32)
@@ -105,13 +117,15 @@ def main() -> int:
         seed=1337,
         run_id="pod-run",
         early_stop_patience=0,
-        # ZeRO-1 under PP x DP: AdamW stage moments shard over the data axis
-        # ACROSS the process boundary; checkpoint save must gather them
-        # collectively (checkpoints._host_materialize) and resume re-shards
+        # ZeRO-1: AdamW moments shard over the data axis ACROSS the
+        # process boundary (stage-sharded too under PP); checkpoint save
+        # gathers them collectively (checkpoints._host_materialize)
         shard_optimizer_state=True,
     )
-    mode = sys.argv[7] if len(sys.argv) > 7 else "epochs"
-    run_root = os.path.join(workdir, f"host{pid}" if nprocs > 1 else "single")
+    if mode == "dp":
+        cfg["batch_size"] = 8  # must divide over n_dp=8
+    run_root = os.path.join(
+        workdir, f"host{pid}_{mode}" if nprocs > 1 else f"single_{mode}")
     last = os.path.join(run_root, "pod-run", "checkpoints", "last.npz")
 
     if mode == "preempt":

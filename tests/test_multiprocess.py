@@ -184,6 +184,67 @@ class TestPodTopology:
         )
 
 
+class TestPureDataParallelPod:
+    """Pure-DP pod: data=8 over 2 processes × 4 devices (n_dp > n_hosts) —
+    each host's loader shard covers 4 device shards per global batch, the
+    10-row val set leaves a ragged 2-row final batch (exercising the
+    shard-multiple PAD padding), and ZeRO-1 moments shard across the
+    process boundary on the data axis alone."""
+
+    ENV = {"PATH": "/usr/bin:/bin", "HOME": "/root", "PYTHONPATH": str(REPO)}
+
+    def _run(self, args, out, timeout=600):
+        res = subprocess.run(
+            [sys.executable, str(REPO / "tests" / "pod_trainer_worker.py"),
+             *args, str(out), "dp"],
+            capture_output=True, text=True, timeout=timeout, env=self.ENV)
+        assert res.returncode == 0, res.stderr[-3000:]
+        return json.loads(out.read_text())
+
+    def test_trainer_epoch_and_resume_dp8(self, tmp_path):
+        port = free_port()
+        outs = [tmp_path / f"d{i}.json" for i in range(2)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "pod_trainer_worker.py"),
+                 str(i), "2", "4", str(port), str(tmp_path), str(outs[i]),
+                 "dp"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=self.ENV,
+            )
+            for i in range(2)
+        ]
+        for p in procs:
+            try:
+                _, err = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("dp-pod workers timed out")
+            assert p.returncode == 0, err[-3000:]
+        records = [json.loads(o.read_text()) for o in outs]
+        for r in records:
+            assert r["mesh_shape"] == {"data": 8}
+            assert r["epoch1"]["status"] == "completed"
+            assert r["epoch2"]["status"] == "completed"
+        assert records[0]["curves"] == records[1]["curves"]
+
+        # vs one process owning the same 8-device data mesh: the host
+        # split permutes rows across shards, so reductions reassociate —
+        # numerically equal curves, not byte-identical ones
+        ref = self._run(["0", "1", "8", str(free_port()), str(tmp_path)],
+                        tmp_path / "dsingle.json")
+
+        def rows(curves):
+            lines = [ln for ln in curves.splitlines() if ln.strip()]
+            return np.array([
+                [float(v) for v in ln.split(",")] for ln in lines[1:]
+            ])
+
+        np.testing.assert_allclose(rows(records[0]["curves"]),
+                                   rows(ref["curves"]), rtol=1e-4)
+
+
 class TestPodPreemption:
     """SIGTERM lands on ONE process of a 2-process pod; the per-group
     trigger consensus (training/loop.py) must stop BOTH processes at the
