@@ -378,7 +378,7 @@ def run_equivalence(args) -> dict:
     print("[3/5] reference trainer (torch CPU subprocess)")
     ref_out = train_reference(workdir, dataset_dir, shared, torch_init,
                               ref_root=reference_root(),
-                              timeout_s=int(args.ref_timeout))
+                              timeout_s=int(getattr(args, "ref_timeout", 14400)))
     print(f"      logged final val: {ref_out['logged_final_val']:.6f} "
           f"({ref_out['epochs_logged']} epochs)")
 
