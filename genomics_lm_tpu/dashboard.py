@@ -130,8 +130,8 @@ def saliency_data(run_dir: str | Path, dna: str) -> dict:
         from genomics_lm_tpu.ops.masks import segment_ids_from_tokens
 
         seg = segment_ids_from_tokens(idx, cfg.sep_id) if cfg.sep_id is not None else None
-        h = _run_blocks(params, cfg, hidden, segment_ids=seg,
-                        attention_window=None, train=False, rng=None)
+        h, _ = _run_blocks(params, cfg, hidden, segment_ids=seg,
+                           attention_window=None, train=False, rng=None)
         logits = _lm_logits(params, cfg, _layer_norm(params["ln_f"], h))
         last = logits[0, -1]
         return last[jnp.argmax(last)]

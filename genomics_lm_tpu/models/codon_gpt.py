@@ -49,6 +49,22 @@ def _ln_init(dim: int):
     return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
 
 
+def _mlp_init(keys, cfg: CodonGPTConfig):
+    """Dense MLP init — key order matches the original layout exactly so
+    dense-model initialization streams are unchanged by the MoE addition."""
+    D, H = cfg.n_embd, cfg.mlp_hidden
+    if cfg.use_swiglu:
+        return {
+            "w_gate": _linear_init(keys[0], D, H, bias=False),
+            "w_up": _linear_init(keys[1], D, H, bias=False),
+            "w_down": _linear_init(keys[2], H, D, bias=False),
+        }
+    return {
+        "fc": _linear_init(keys[0], D, H),
+        "proj": _linear_init(keys[1], H, D),
+    }
+
+
 def _block_init(rng, cfg: CodonGPTConfig):
     D = cfg.n_embd
     kv_dim = cfg.kv_heads * cfg.head_dim
@@ -59,20 +75,20 @@ def _block_init(rng, cfg: CodonGPTConfig):
         "value": _linear_init(keys[2], D, kv_dim),
         "proj": _linear_init(keys[3], D, D),
     }
-    if cfg.use_swiglu:
-        H = cfg.mlp_hidden
-        mlp = {
-            "w_gate": _linear_init(keys[4], D, H, bias=False),
-            "w_up": _linear_init(keys[5], D, H, bias=False),
-            "w_down": _linear_init(keys[6], H, D, bias=False),
+    out = {"ln1": _ln_init(D), "attn": attn, "ln2": _ln_init(D)}
+    if cfg.moe_experts:
+        # Expert weights stack on a leading E axis (mirrors the per-layer
+        # L stacking): (E, D, H) etc. Router is bias-free like most
+        # production routers; its logits/softmax run in f32.
+        expert_keys = jax.random.split(keys[4], cfg.moe_experts)
+        experts = [_mlp_init(jax.random.split(k, 3), cfg) for k in expert_keys]
+        out["mlp"] = jax.tree.map(lambda *xs: jnp.stack(xs), *experts)
+        out["router"] = {
+            "w": _linear_init(keys[7], D, cfg.moe_experts, bias=False)["w"]
         }
     else:
-        H = cfg.mlp_hidden
-        mlp = {
-            "fc": _linear_init(keys[4], D, H),
-            "proj": _linear_init(keys[5], H, D),
-        }
-    return {"ln1": _ln_init(D), "attn": attn, "ln2": _ln_init(D), "mlp": mlp}
+        out["mlp"] = _mlp_init(keys[4:7], cfg)
+    return out
 
 
 def init(rng: jax.Array, cfg: CodonGPTConfig) -> dict:
@@ -232,23 +248,113 @@ def _constrain_residual(x, cfg: CodonGPTConfig):
     return jax.lax.with_sharding_constraint(x, P(*cfg.residual_sharding))
 
 
+def _constrain_experts(x, cfg: CodonGPTConfig):
+    """Pin a leading-E MoE activation to the expert axis (no-op otherwise)."""
+    if cfg.expert_sharding is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, P(cfg.expert_sharding, *([None] * (x.ndim - 1))))
+
+
+def _moe_mlp(block_p, cfg: CodonGPTConfig, h, *, capped: bool):
+    """GShard-style top-k routed mixture-of-experts MLP (beyond reference).
+
+    TPU-first design: routing and dispatch are fixed-shape one-hot einsums
+    (no ragged gathers, no data-dependent shapes), so the whole layer
+    compiles into MXU matmuls + cheap VPU masks. In training (``capped``)
+    each token's top-k experts get a slot in that expert's fixed capacity
+    ``C = ceil(capacity_factor * k * N / E)``; slots are granted in
+    (choice-rank, token-order) priority and over-capacity tokens fall
+    through to the residual stream (standard GShard/Switch semantics).
+    Inference runs dropless (``C = N``) so evaluation losses are exact and
+    the KV-cached incremental decode — where each step routes one token
+    and can never contend for capacity — produces bit-identical logits to
+    the full forward (the cached-vs-uncached parity gate).
+    Expert weights carry a leading E axis — sharding it over a mesh axis
+    (``parallel.sharding.moe_param_sharding``) makes the two expert einsums
+    expert-parallel; ``cfg.expert_sharding`` optionally pins the dispatched
+    (E, C, D) activations to that axis explicitly.
+
+    Returns ``(y, aux)`` where ``aux`` is the Switch load-balancing loss
+    ``E * Σ_e f_e·p_e`` (f from top-1 assignments, p the mean router
+    probability; ≈1.0 when balanced).
+    """
+    B, T, D = h.shape
+    N = B * T
+    E = cfg.moe_experts
+    k = min(cfg.moe_top_k, E)
+    C = max(1, math.ceil(cfg.moe_capacity_factor * k * N / E)) if capped else N
+
+    ht = h.reshape(N, D)
+    router_logits = ht.astype(jnp.float32) @ block_p["router"]["w"]  # (N, E)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    gate_vals, gate_idx = jax.lax.top_k(probs, k)  # (N, k)
+    gate_vals = gate_vals / jnp.maximum(
+        jnp.sum(gate_vals, axis=-1, keepdims=True), 1e-9)
+
+    top1 = jax.nn.one_hot(gate_idx[:, 0], E, dtype=jnp.float32)
+    aux = jnp.float32(E) * jnp.sum(
+        jnp.mean(top1, axis=0) * jnp.mean(probs, axis=0))
+
+    # Slot assignment: cumulative count per expert in rank-major, then
+    # token-order priority (deterministic; matches the docstring contract).
+    oh = jax.nn.one_hot(gate_idx, E, dtype=jnp.int32)           # (N, k, E)
+    flat = oh.transpose(1, 0, 2).reshape(k * N, E)              # rank-major
+    pos_flat = jnp.cumsum(flat, axis=0) - flat
+    pos = pos_flat.reshape(k, N, E).transpose(1, 0, 2)
+    pos = jnp.sum(pos * oh, axis=-1)                            # (N, k)
+
+    de = jax.nn.one_hot(gate_idx, E, dtype=h.dtype)             # (N, k, E)
+    dc = jax.nn.one_hot(pos, C, dtype=h.dtype)                  # (N, k, C); 0-row when pos >= C
+
+    xe = jnp.einsum("nke,nkc,nd->ecd", de, dc, ht)              # dispatch
+    xe = _constrain_experts(xe, cfg)
+    mlp = block_p["mlp"]
+    if cfg.use_swiglu:
+        gate = jnp.einsum("ecd,edh->ech", xe, mlp["w_gate"]["w"].astype(h.dtype))
+        up = jnp.einsum("ecd,edh->ech", xe, mlp["w_up"]["w"].astype(h.dtype))
+        ye = jnp.einsum("ech,ehd->ecd", jax.nn.silu(gate) * up,
+                        mlp["w_down"]["w"].astype(h.dtype))
+    else:
+        mid = jnp.einsum("ecd,edh->ech", xe, mlp["fc"]["w"].astype(h.dtype))
+        mid = jax.nn.gelu(mid + mlp["fc"]["b"].astype(h.dtype)[:, None, :],
+                          approximate=False)
+        ye = jnp.einsum("ech,ehd->ecd", mid, mlp["proj"]["w"].astype(h.dtype))
+        ye = ye + mlp["proj"]["b"].astype(h.dtype)[:, None, :]
+    ye = _constrain_experts(ye, cfg)
+    y = jnp.einsum("ecd,nke,nkc,nk->nd", ye, de, dc,
+                   gate_vals.astype(h.dtype))                   # combine
+    return y.reshape(B, T, D), aux
+
+
 def block_epilogue(block_p, cfg: CodonGPTConfig, x, y_attn, *,
-                   train: bool = False, mlp_rng=None, constrain: bool = False):
+                   train: bool = False, mlp_rng=None, constrain: bool = False,
+                   return_moe_aux: bool = False, moe_capped: bool | None = None):
     """Post-attention half of a transformer block, shared by every path.
 
     Residual-adds the attention output projection, applies LN2 and the
-    (SwiGLU | GELU) MLP with its residual. The attention computation is
-    the only part that differs between the training forward, attention
+    (SwiGLU | GELU | MoE) MLP with its residual. The attention computation
+    is the only part that differs between the training forward, attention
     maps, prompt prefill, single-token decode, and the serving ragged
     decode — they all call this for the rest, so block-body changes land
-    once. ``constrain`` applies the sequence-parallel residual sharding
+    once (MoE models decode/serve through the same code path).
+    ``constrain`` applies the sequence-parallel residual sharding
     (training path only; decode operates on (B, 1, C) where a sharded T
-    axis is meaningless)."""
+    axis is meaningless). ``return_moe_aux`` additionally returns the MoE
+    router load-balancing loss (0.0 for dense blocks) — the training
+    forward collects it; inference paths ignore it."""
     x = x + _linear(block_p["attn"]["proj"], y_attn)
     if constrain:
         x = _constrain_residual(x, cfg)
     h = _layer_norm(block_p["ln2"], x)
-    if cfg.use_swiglu:
+    moe_aux = jnp.float32(0.0)
+    if cfg.moe_experts:
+        # capacity binds in training; inference is dropless (see _moe_mlp)
+        m, moe_aux = _moe_mlp(
+            block_p, cfg, h, capped=train if moe_capped is None else moe_capped)
+    elif cfg.use_swiglu:
         m = _linear(block_p["mlp"]["w_down"],
                     jax.nn.silu(_linear(block_p["mlp"]["w_gate"], h))
                     * _linear(block_p["mlp"]["w_up"], h))
@@ -261,6 +367,8 @@ def block_epilogue(block_p, cfg: CodonGPTConfig, x, y_attn, *,
     x = x + m
     if constrain:
         x = _constrain_residual(x, cfg)
+    if return_moe_aux:
+        return x, moe_aux
     return x
 
 
@@ -274,6 +382,7 @@ def _block_apply(
     rope_cache,
     train: bool,
     rng,
+    moe_capped: bool | None = None,
 ):
     B, T, C = x.shape
     h = _layer_norm(block_p["ln1"], x)
@@ -296,7 +405,8 @@ def _block_apply(
     )
     y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
     return block_epilogue(block_p, cfg, x, y, train=train, mlp_rng=mlp_rng,
-                          constrain=True)
+                          constrain=True, return_moe_aux=True,
+                          moe_capped=moe_capped)
 
 
 def _embed(params, cfg: CodonGPTConfig, idx, shape_embeddings, *, train, rng):
@@ -313,6 +423,8 @@ def _embed(params, cfg: CodonGPTConfig, idx, shape_embeddings, *, train, rng):
 
 
 def _run_blocks(params, cfg: CodonGPTConfig, x, *, segment_ids, attention_window, train, rng):
+    """Scan the stacked blocks; returns ``(x, moe_aux)`` where ``moe_aux``
+    is the mean per-layer router load-balancing loss (0.0 for dense)."""
     rope_cache = (
         rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_base, cfg.dtype)
         if cfg.use_rope
@@ -323,15 +435,18 @@ def _run_blocks(params, cfg: CodonGPTConfig, x, *, segment_ids, attention_window
     def body(h, layer_in):
         block_p = layer_in[0] if use_dropout else layer_in
         layer_rng = layer_in[1] if use_dropout else None
-        h = _block_apply(
+        h, moe_aux = _block_apply(
             block_p, h, cfg,
             segment_ids=segment_ids,
             attention_window=attention_window,
             rope_cache=rope_cache,
             train=use_dropout,
             rng=layer_rng,
+            # expert capacity binds on the true training flag, independent
+            # of whether dropout is active
+            moe_capped=train,
         )
-        return h, None
+        return h, moe_aux
 
     if cfg.use_checkpoint:
         body = jax.checkpoint(body)
@@ -341,10 +456,10 @@ def _run_blocks(params, cfg: CodonGPTConfig, x, *, segment_ids, attention_window
         if use_dropout
         else params["blocks"]
     )
-    x, _ = jax.lax.scan(
+    x, moe_aux = jax.lax.scan(
         body, _constrain_residual(x, cfg), xs, unroll=max(1, cfg.scan_unroll)
     )
-    return x
+    return x, jnp.mean(moe_aux)
 
 
 def _lm_logits(params, cfg: CodonGPTConfig, x):
@@ -390,7 +505,7 @@ def forward(
         segment_ids_from_tokens(idx, cfg.sep_id) if cfg.sep_id is not None else None
     )
     x = _embed(params, cfg, idx, shape_embeddings, train=train, rng=emb_rng)
-    x = _run_blocks(
+    x, moe_aux = _run_blocks(
         params, cfg, x,
         segment_ids=segment_ids,
         attention_window=attention_window,
@@ -401,6 +516,8 @@ def forward(
     logits = _lm_logits(params, cfg, x)
 
     aux: dict = {}
+    if cfg.moe_experts:
+        aux["moe_aux_loss"] = moe_aux
     if cfg.termination_aux:
         aux["termination_logits"] = _linear(params["termination_head"], x)
     if cfg.multi_offset_targets:
@@ -457,7 +574,7 @@ def hidden_states(
     out = [(0, x)]
     for layer in range(cfg.n_layer):
         block_p = jax.tree.map(lambda p: p[layer], params["blocks"])
-        x = _block_apply(
+        x, _ = _block_apply(
             block_p, x, cfg,
             segment_ids=segment_ids,
             attention_window=attention_window,

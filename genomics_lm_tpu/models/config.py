@@ -36,6 +36,15 @@ class CodonGPTConfig:
     rope_base: float = 10000.0
     use_shape_guidance: bool = False
     loss_weights: tuple[float, ...] | None = None  # per-token CE weights
+    # Mixture-of-Experts MLP (beyond reference scope; 0 = dense reference
+    # MLP). GShard-style top-k routing with a fixed per-expert capacity:
+    # tokens over capacity pass through the residual only. Expert weights
+    # carry a leading E axis — shard it over a mesh axis for expert
+    # parallelism (parallel/sharding.py::moe_param_sharding).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01  # Switch load-balancing loss weight
     # TPU execution knobs (no reference equivalent):
     use_checkpoint: bool = False  # remat each block (reference grad-ckpt)
     pad_vocab_lanes: bool = False  # pad the 68-wide LM-head matmul to 128 lanes
@@ -52,6 +61,12 @@ class CodonGPTConfig:
     # LN/dropout/residual math runs on 1/tp of the tokens per device.
     # Requires an ambient mesh (jax.sharding.set_mesh) at trace time.
     residual_sharding: tuple[str | None, ...] | None = None
+    # Expert parallelism: mesh axis name to pin the MoE dispatch/expert
+    # compute to (with_sharding_constraint on the (E, C, D) activations).
+    # None relies on GSPMD propagation from the expert-sharded weights —
+    # the trainer path; the explicit constraint needs an ambient mesh at
+    # trace time, like residual_sharding.
+    expert_sharding: str | None = None
 
     def __post_init__(self):
         if self.n_embd % self.n_head != 0:
@@ -73,6 +88,13 @@ class CodonGPTConfig:
             object.__setattr__(
                 self, "residual_sharding", tuple(self.residual_sharding)
             )
+        if self.moe_experts:
+            if self.moe_experts < 2:
+                raise ValueError("moe_experts must be 0 (dense) or >= 2")
+            if not (1 <= self.moe_top_k <= self.moe_experts):
+                raise ValueError("moe_top_k must be in [1, moe_experts]")
+            if self.moe_capacity_factor <= 0:
+                raise ValueError("moe_capacity_factor must be positive")
 
     @property
     def head_dim(self) -> int:
@@ -118,6 +140,16 @@ class CodonGPTConfig:
             "use_swiglu": bool(self.use_swiglu),
             "use_rope": bool(self.use_rope),
             "use_shape_guidance": bool(self.use_shape_guidance),
+            **(
+                {
+                    "moe_experts": int(self.moe_experts),
+                    "moe_top_k": int(self.moe_top_k),
+                    "moe_capacity_factor": float(self.moe_capacity_factor),
+                    "moe_aux_weight": float(self.moe_aux_weight),
+                }
+                if self.moe_experts
+                else {}
+            ),
         }
 
     @classmethod
@@ -152,6 +184,11 @@ class CodonGPTConfig:
             scan_unroll=int(cfg.get("scan_unroll", 1)),
             flash_block_q=int(cfg.get("flash_block_q", 128)),
             flash_block_k=int(cfg.get("flash_block_k", 128)),
+            moe_experts=int(cfg.get("moe_experts", 0) or 0),
+            moe_top_k=int(cfg.get("moe_top_k", 2)),
+            moe_capacity_factor=float(cfg.get("moe_capacity_factor", 1.25)),
+            moe_aux_weight=float(cfg.get("moe_aux_weight", 0.01)),
+            expert_sharding=cfg.get("expert_sharding"),
         )
         if kwargs["sep_id"] is not None:
             kwargs["sep_id"] = int(kwargs["sep_id"])

@@ -65,10 +65,16 @@ def quantize_params(params: dict) -> dict:
     params = dict(params)
     blocks = {k: dict(v) for k, v in params["blocks"].items()}
 
-    attn = {name: _quantize_linear_tree(p) for name, p in blocks["attn"].items()}
-    mlp = {name: _quantize_linear_tree(p) for name, p in blocks["mlp"].items()}
-    blocks["attn"] = attn
-    blocks["mlp"] = mlp
+    blocks["attn"] = {
+        name: _quantize_linear_tree(p) for name, p in blocks["attn"].items()
+    }
+    if "router" not in blocks:
+        # MoE expert weights run through the dispatch einsums, not _linear —
+        # they (and the router) stay full precision; attention still
+        # quantizes, so MoE models compose with --int8_weights serving.
+        blocks["mlp"] = {
+            name: _quantize_linear_tree(p) for name, p in blocks["mlp"].items()
+        }
     params["blocks"] = blocks
     return params
 

@@ -155,7 +155,7 @@ def _stage_forward(blocks_stage, params_rest, cfg: CodonGPTConfig, x,
 
     def body(h, layer_in):
         block_p, layer_rng = layer_in if train else (layer_in, None)
-        h = codon_gpt._block_apply(
+        h, _ = codon_gpt._block_apply(  # MoE fails closed before PP; aux unused
             block_p, h, cfg,
             segment_ids=segment_ids,
             attention_window=None,

@@ -130,6 +130,49 @@ def tp_spec(path_names: tuple[str, ...], shape, tp: int, axis: str):
     return P()
 
 
+def ep_spec(path_names: tuple[str, ...], shape, ep: int, axis: str,
+            n_experts: int):
+    """PartitionSpec for one leaf under expert parallelism, or None.
+
+    MoE expert weights live under ``blocks.mlp`` with a leading (L, E, ...)
+    stack — shard the E axis (dim 1) over ``axis`` when the expert count
+    divides. The router and every non-expert leaf return None (no EP rule;
+    the caller falls back to TP/replication).
+    """
+    if ep <= 1 or n_experts % ep or "mlp" not in path_names:
+        return None
+    if len(shape) >= 2 and shape[1] == n_experts:
+        spec = [None] * len(shape)
+        spec[1] = axis
+        return P(*spec)
+    return None
+
+
+def moe_param_sharding(tree, mesh: Mesh, *, n_experts: int,
+                       axis: str = MODEL_AXIS, tp_axis: str | None = None):
+    """NamedSharding tree for expert parallelism (optionally + TP).
+
+    Expert-stacked MLP weights shard their E axis over ``axis``; with
+    ``tp_axis`` the attention projections additionally take the Megatron
+    column/row splits (EP and TP can share one mesh axis — attention is
+    tensor-sharded while the MLP is expert-sharded). Router weights and
+    everything else replicate. Works on the parameter tree and on moment
+    trees that mirror it.
+    """
+    tp = mesh.shape.get(tp_axis, 1) if tp_axis else 1
+    ep = mesh.shape.get(axis, 1)
+
+    def leaf(path, x):
+        names = _path_names(path)
+        shape = getattr(x, "shape", ())
+        spec = ep_spec(names, shape, ep, axis, n_experts)
+        if spec is None and tp_axis and "mlp" not in names:
+            spec = tp_spec(names, shape, tp, tp_axis)
+        return NamedSharding(mesh, spec if spec is not None else P())
+
+    return jax.tree_util.tree_map_with_path(leaf, tree)
+
+
 def tp_param_sharding(tree, mesh: Mesh, *, axis: str = MODEL_AXIS):
     """NamedSharding tree for Megatron-style tensor parallelism.
 
@@ -152,22 +195,32 @@ def opt_state_sharding(
     tp_axis: str | None = None,
     zero1: bool = False,
     data_axis: str = DATA_AXIS,
+    ep_axis: str | None = None,
+    n_experts: int = 0,
 ):
-    """Optimizer-state shardings: TP rules + optional ZeRO-1 data overlay.
+    """Optimizer-state shardings: TP/EP rules + optional ZeRO-1 data overlay.
 
-    Moment trees mirror the parameter tree, so the tensor-parallel path
-    rules apply unchanged; with ``zero1`` each leaf additionally shards its
-    first still-unsharded divisible dimension over ``data_axis`` so the
-    AdamW moments never replicate across data-parallel peers.
+    Moment trees mirror the parameter tree, so the tensor-parallel and
+    expert-parallel path rules apply unchanged; with ``zero1`` each leaf
+    additionally shards its first still-unsharded divisible dimension over
+    ``data_axis`` so the AdamW moments never replicate across data-parallel
+    peers.
     """
     tp = mesh.shape.get(tp_axis, 1) if tp_axis else 1
+    ep = mesh.shape.get(ep_axis, 1) if ep_axis else 1
     dp = mesh.shape[data_axis] if zero1 else 1
 
     def leaf(path, x):
+        names = _path_names(path)
         shape = getattr(x, "shape", ())
-        spec = list(
-            tp_spec(_path_names(path), shape, tp, tp_axis) if tp_axis else ()
-        )
+        spec = None
+        if ep_axis:
+            spec = ep_spec(names, shape, ep, ep_axis, n_experts)
+            spec = list(spec) if spec is not None else None
+        if spec is None and tp_axis and not (ep_axis and "mlp" in names):
+            spec = list(tp_spec(names, shape, tp, tp_axis))
+        if spec is None:
+            spec = []
         spec += [None] * (len(shape) - len(spec))
         if zero1:
             for dim, size in enumerate(shape):
@@ -181,6 +234,8 @@ def opt_state_sharding(
 
 __all__ = [
     "batch_sharding",
+    "ep_spec",
+    "moe_param_sharding",
     "opt_state_sharding",
     "replicated",
     "tp_param_sharding",

@@ -414,6 +414,7 @@ def run_training(
                     ("termination_loss", loss_cfg.termination_enabled),
                     ("replay_loss", loss_cfg.replay_enabled),
                     ("shape_guidance", model_cfg.use_shape_guidance),
+                    ("moe", model_cfg.moe_experts > 0),
                 ) if on
             ]
             if unsupported:
@@ -443,6 +444,27 @@ def run_training(
             param_sharding = rep  # non-block leaves; blocks handled by stage_put
             params = stage_put(params)
             opt_state = stage_put_opt(opt_state)
+        elif model_cfg.moe_experts and mesh.shape.get("model", 1) > 1:
+            # Expert parallelism: the E axis of the stacked expert weights
+            # shards over the model axis (the dispatch/combine einsums get
+            # their collectives from GSPMD); attention composes as Megatron
+            # TP over the same axis when it divides.
+            from genomics_lm_tpu.parallel.sharding import moe_param_sharding
+
+            param_sharding = moe_param_sharding(
+                params, mesh, n_experts=model_cfg.moe_experts,
+                axis="model", tp_axis="model")
+            params = jax.device_put(params, param_sharding)
+            opt_state = jax.device_put(
+                opt_state,
+                opt_state_sharding(
+                    opt_state, mesh, tp_axis="model", ep_axis="model",
+                    n_experts=model_cfg.moe_experts,
+                    zero1=bool(cfg.get("shard_optimizer_state", False)),
+                ),
+            )
+            print(f"[mesh] expert parallel: experts={model_cfg.moe_experts} "
+                  f"over model={mesh.shape['model']}")
         elif tensor_parallel:
             # Megatron-style column/row weight splits over the model axis;
             # GSPMD inserts the attention-proj / MLP-down all-reduces.
@@ -569,7 +591,16 @@ def run_training(
                 opt_state = stage_put_opt(opt_state)
             else:
                 params = jax.device_put(params, param_sharding)
-                if tensor_parallel:
+                if model_cfg.moe_experts and mesh.shape.get("model", 1) > 1:
+                    opt_state = jax.device_put(
+                        opt_state,
+                        opt_state_sharding(
+                            opt_state, mesh, tp_axis="model", ep_axis="model",
+                            n_experts=model_cfg.moe_experts,
+                            zero1=bool(cfg.get("shard_optimizer_state", False)),
+                        ),
+                    )
+                elif tensor_parallel:
                     opt_state = jax.device_put(
                         opt_state,
                         opt_state_sharding(

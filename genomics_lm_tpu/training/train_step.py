@@ -118,6 +118,13 @@ def composite_loss(
     total = next_loss
     parts: dict[str, Any] = {"next_loss": next_loss}
 
+    if model_cfg.moe_experts and train:
+        # Switch-style router load-balancing loss (training only — eval
+        # losses stay pure CE so perplexity accounting is unchanged)
+        moe_aux = aux["moe_aux_loss"]
+        total = total + jnp.float32(model_cfg.moe_aux_weight) * moe_aux
+        parts["moe_aux"] = moe_aux
+
     if loss_cfg.multi_offset_weights:
         weights = dict(loss_cfg.multi_offset_weights)
         offset_logits = aux.get("offset_logits", logits) if need_aux else logits

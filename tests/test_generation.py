@@ -34,6 +34,7 @@ CACHE_VARIANTS = [
     {"use_swiglu": True},
     {"sep_id": None},
     {"termination_aux": True},
+    {"moe_experts": 4, "moe_top_k": 2},
 ]
 
 
