@@ -156,6 +156,10 @@ def _linear(p, x):
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
+    if "lora_a" in p:
+        # LoRA fine-tuning (training/lora.py): rank-r bottleneck add. Two
+        # thin matmuls; the alpha/r scale is folded into lora_a's init.
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
     return y
 
 
@@ -219,6 +223,17 @@ def _qkv(block_p, x, cfg: CodonGPTConfig):
                 [attn["query"]["b"], attn["key"]["b"], attn["value"]["b"]], axis=0
             )
             qkv = x @ w.astype(x.dtype) + b.astype(x.dtype)
+        if "lora_a" in attn["query"]:
+            # adapters keep per-projection factors; their thin matmuls are
+            # negligible next to the fused base gemm
+            qkv = qkv + jnp.concatenate(
+                [
+                    (x @ attn[name]["lora_a"].astype(x.dtype))
+                    @ attn[name]["lora_b"].astype(x.dtype)
+                    for name in ("query", "key", "value")
+                ],
+                axis=-1,
+            )
         c_q = cfg.n_head * hd
         c_kv = cfg.kv_heads * hd
         q, k, v = jnp.split(qkv, [c_q, c_q + c_kv], axis=-1)

@@ -338,6 +338,30 @@ def run_training(
         prov.update(adaptation)
         vocab_lib.write_vocabulary_manifest(prov, run_dir / "vocabulary.json")
 
+    # --- LoRA (after transfer, so adapters wrap the loaded base weights) ----
+    if cfg.get("lora_rank"):
+        from genomics_lm_tpu.training import lora as lora_lib
+
+        if cfg.get("pipeline_stages"):
+            raise ValueError(
+                "lora_rank with pipeline_stages is unsupported — LoRA targets "
+                "the stacked whole-model block tree"
+            )
+        key, lora_key = jax.random.split(key)
+        params = lora_lib.add_lora_adapters(
+            params,
+            lora_key,
+            rank=int(cfg["lora_rank"]),
+            alpha=float(cfg["lora_alpha"]) if cfg.get("lora_alpha") else None,
+            targets=str(cfg.get("lora_targets", "attn")),
+        )
+        n_params = codon_gpt.param_count(params)
+        print(
+            f"[lora] rank={cfg['lora_rank']} targets={cfg.get('lora_targets', 'attn')} "
+            f"trainable={lora_lib.lora_param_count(params)} "
+            f"lora_only={bool(cfg.get('lora_only', True))}"
+        )
+
     # --- optimizer / schedule ----------------------------------------------
     batch_size = int(cfg["batch_size"])
     gacc = int(cfg.get("grad_accum_steps", 16))

@@ -112,19 +112,29 @@ class PlateauScheduler:
 
 
 def param_group_labels(
-    params: dict, *, freeze_backbone: bool = False, unfreeze_encoder: bool = False
+    params: dict,
+    *,
+    freeze_backbone: bool = False,
+    unfreeze_encoder: bool = False,
+    lora_only: bool = False,
 ) -> dict:
     """Label each leaf 'fast' | 'base' | 'frozen' by its tree path.
 
     The shape encoder trains in the base group only when explicitly
     unfrozen (reference ``loop.py:670-695``); otherwise it stays frozen.
+    LoRA adapter leaves (``training/lora.py``) always train in the
+    no-weight-decay fast group; ``lora_only`` additionally freezes every
+    non-adapter leaf outside the aux-head fast group (the standard
+    frozen-backbone LoRA recipe).
     """
 
     def label_path(path: str) -> str:
+        if "lora_" in path:
+            return "fast"
         if "shape_encoder" in path:
             return "base" if (unfreeze_encoder and not freeze_backbone) else "frozen"
         fast = any(marker in path for marker in FAST_GROUP_MARKERS)
-        if freeze_backbone:
+        if freeze_backbone or lora_only:
             return "fast" if fast else "frozen"
         return "fast" if fast else "base"
 
@@ -200,6 +210,7 @@ def build_optimizer(cfg: dict, params: dict, total_steps: int) -> OptimizerBundl
         params,
         freeze_backbone=freeze_backbone,
         unfreeze_encoder=bool(cfg.get("unfreeze_encoder", False)),
+        lora_only=bool(cfg.get("lora_only", bool(cfg.get("lora_rank")))),
     )
     tx = optax.multi_transform(transforms, labels)
     if grad_clip:
