@@ -1,0 +1,261 @@
+#!/usr/bin/env python3
+"""MoE-vs-dense benchmark: quality at matched step budget + d512 throughput.
+
+The MoE layer (``models/codon_gpt.py::_moe_mlp``, beyond reference scope)
+ships with routing/EP parity tests but no quality or flagship-tier cost
+evidence. This gives it both, under the repo's standard protocols:
+
+* **quality** — dense and top-k-routed variants train on one frozen demo
+  corpus (same packed arrays, same seed/schedule/steps — only the MLP
+  differs), then both final checkpoints are judged by the shared exact
+  evaluator (``evals/perplexity.py``) on the val and test splits, with
+  the Markov count baselines (``evals/markov.py``) as the quality floor —
+  the same floor the reference holds its LMs to
+  (``/root/reference/docs/PERPLEXITY_BASELINES.md`` protocol).
+* **throughput** — the flagship 12L8H d512 tier, dense vs MoE variants,
+  each in an OOM-isolated subprocess (reference
+  ``optimize_train_batching.py`` protocol via
+  ``benchmark_training_speed.run_candidate_subprocess``). Single-chip
+  numbers have experts REPLICATED: the per-chip cost shown here is what
+  expert parallelism (``parallel/sharding.py::moe_param_sharding``)
+  reclaims by sharding the E axis over the model mesh axis.
+
+    python scripts/benchmark_moe.py --out docs/benchmarks/moe_benchmark.json
+
+Writes one JSON artifact with both sections; either can be skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+_sys_path_root = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _sys_path_root)
+
+from scripts._shared import REPO_ROOT  # noqa: F401, E402
+from scripts.benchmark_training_speed import run_candidate_subprocess  # noqa: E402
+
+D512_MODEL = {
+    "vocab_size": 68, "block_size": 512, "n_layer": 12, "n_head": 8,
+    "n_embd": 512, "dropout": 0.1, "label_smoothing": 0.05, "sep_id": 3,
+    "tie_embeddings": True, "attention_impl": "flash",
+    "compute_dtype": "bfloat16", "fused_qkv": True,
+    "flash_block_q": 512, "flash_block_k": 512, "use_checkpoint": False,
+}
+
+
+def quality_variants(experts: int):
+    """(name, extra model cfg) — identical training budget, only MLP differs."""
+    return [
+        ("dense", {}),
+        (f"moe_{experts}e_top1", {"moe_experts": experts, "moe_top_k": 1}),
+        (f"moe_{experts}e_top2", {"moe_experts": experts, "moe_top_k": 2}),
+    ]
+
+
+def build_dataset(workdir: Path, *, genes: int, block_size: int, seed: int) -> Path:
+    from scripts.make_demo_corpus import main as make_corpus
+    from genomics_lm_tpu.data.pipeline import prepare_dataset
+
+    records_tsv = workdir / "records.tsv"
+    records_tsv.parent.mkdir(parents=True, exist_ok=True)
+    make_corpus(["--out", str(records_tsv), "--genes", str(genes),
+                 "--seed", str(seed)])
+    import csv
+
+    with records_tsv.open() as f:
+        records = [dict(r) for r in csv.DictReader(f, delimiter="\t")]
+    dataset_dir = workdir / "dataset"
+    prepare_dataset(records, dataset_dir, block_size=block_size,
+                    pack_mode="multi", group_by="genome", split_seed=seed,
+                    skip_homology=True, audit_engine="native")
+    return dataset_dir
+
+
+def run_quality(args) -> dict:
+    import numpy as np
+
+    from genomics_lm_tpu.evals.markov import evaluate_baselines, fit_baselines
+    from genomics_lm_tpu.evals.perplexity import evaluate_perplexity
+    from genomics_lm_tpu.models.config import CodonGPTConfig
+    from genomics_lm_tpu.tokenizers.codon import SEP_ID
+    from genomics_lm_tpu.training import checkpoints as ckpt_lib
+    from genomics_lm_tpu.training.loop import run_training
+
+    workdir = Path(args.workdir)
+    dataset_dir = build_dataset(workdir, genes=args.genes,
+                                block_size=args.block_size, seed=args.seed)
+    block = args.block_size
+    shared_cfg = {
+        "train_npz": str(dataset_dir / f"train_bs{block}.npz"),
+        "val_npz": str(dataset_dir / f"val_bs{block}.npz"),
+        "block_size": block,
+        "vocab_size": 68,
+        "n_layer": args.n_layer,
+        "n_head": args.n_head,
+        "n_embd": args.n_embd,
+        # no per-step noise: the deltas under judgment are a few percent
+        "dropout": 0.0,
+        "label_smoothing": 0.0,  # val NLL comparable to Markov baselines
+        "tie_embeddings": True,
+        "batch_size": args.batch_size,
+        "grad_accum_steps": args.grad_accum,
+        "lr": args.lr,
+        "min_lr": args.lr / 10.0,
+        "weight_decay": 0.05,
+        "warmup_steps": args.warmup_steps,
+        "optimizer": "adamw",
+        "scheduler": "cosine",
+        "epochs": args.epochs,
+        "seed": args.seed,
+        "dataloader_seed": args.seed,
+        "early_stop_patience": 0,
+        "itos_path": str(dataset_dir / "itos.txt"),
+        "use_mmap_dataset": False,
+    }
+
+    # quality floor: the count baselines both model families must beat
+    with np.load(dataset_dir / f"train_bs{block}.npz") as z:
+        train_x, train_y = z["X"], z["Y"]
+    with np.load(dataset_dir / f"val_bs{block}.npz") as z:
+        val_x, val_y = z["X"], z["Y"]
+    counts = fit_baselines(train_x, train_y, 68,
+                           reset_token_ids=frozenset({SEP_ID}))
+    baselines, _, _ = evaluate_baselines(val_x, val_y, counts, 68,
+                                         reset_token_ids=frozenset({SEP_ID}))
+
+    rows = []
+    for name, extra in quality_variants(args.experts):
+        cfg = dict(shared_cfg)
+        cfg.update(extra)
+        cfg["run_id"] = f"moe-quality-{name}"
+        print(f"[moe-quality] training {name} ...", flush=True)
+        t0 = time.perf_counter()
+        meta = run_training(cfg, run_root=workdir / "runs")
+        wall = time.perf_counter() - t0
+        last = workdir / "runs" / cfg["run_id"] / "checkpoints" / "last.npz"
+        params = ckpt_lib.load_checkpoint(last)["model"]
+        model_cfg = CodonGPTConfig.from_run_config(cfg)
+        evals = {
+            split: evaluate_perplexity(
+                params, model_cfg, dataset_dir / f"{split}_bs{block}.npz")
+            for split in ("val", "test")
+        }
+        row = {
+            "name": name,
+            "moe": extra or None,
+            "n_params": meta["n_params"],
+            "best_val_loss": meta["best_val_loss"],
+            "train_wall_sec": meta["train_wall_sec"],
+            "wall_sec_total": round(wall, 2),
+            "val_nll": evals["val"]["nll"],
+            "val_ppl": evals["val"]["perplexity"],
+            "test_nll": evals["test"]["nll"],
+            "test_ppl": evals["test"]["perplexity"],
+            "beats_all_markov_baselines": bool(
+                evals["val"]["nll"]
+                < min(b["cross_entropy_nats"] for b in baselines.values())
+            ),
+        }
+        print(f"[moe-quality]   -> val ppl {row['val_ppl']:.3f} "
+              f"test ppl {row['test_ppl']:.3f} "
+              f"({row['n_params']:,} params, {row['train_wall_sec']:.0f}s)",
+              flush=True)
+        rows.append(row)
+
+    dense = next(r for r in rows if r["name"] == "dense")
+    for r in rows:
+        r["val_nll_delta_vs_dense"] = r["val_nll"] - dense["val_nll"]
+    return {
+        "protocol": {
+            "corpus": f"make_demo_corpus genes={args.genes} seed={args.seed}",
+            "budget": f"epochs={args.epochs} b{args.batch_size}x{args.grad_accum} "
+                      f"lr={args.lr} (identical for every variant)",
+            "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd} "
+                     f"block{block}, dropout 0, label smoothing 0",
+            "evaluator": "evals/perplexity.py exact corpus NLL, shared across variants",
+        },
+        "markov_baselines": {
+            k: v["cross_entropy_nats"] for k, v in baselines.items()
+        },
+        "variants": rows,
+    }
+
+
+def run_throughput(args) -> dict:
+    rows = []
+    cands = [("dense", {})]
+    for top_k in (1, 2):
+        cands.append((f"moe_{args.experts}e_top{top_k}",
+                      {"moe_experts": args.experts, "moe_top_k": top_k,
+                       "moe_capacity_factor": 1.25}))
+    for name, extra in cands:
+        model = dict(D512_MODEL)
+        model.update(extra)
+        spec = {"model": model, "batch_size": 8, "grad_accum": 16,
+                "measure_steps": args.measure_steps, "warmup_steps": 2}
+        print(f"[moe-throughput] {name} (b8x16 d512) ...", flush=True)
+        res = run_candidate_subprocess(spec, timeout=args.timeout)
+        row = {"name": name, "moe": extra or None, **res}
+        if res.get("ok"):
+            row["tok_per_sec"] = res["nonpad_tokens_per_sec"]
+            print(f"[moe-throughput]   -> {row['tok_per_sec']:,.0f} tok/s",
+                  flush=True)
+        else:
+            print(f"[moe-throughput]   -> {res.get('error')}", flush=True)
+        rows.append(row)
+    dense = next((r for r in rows if r["name"] == "dense" and r.get("ok")), None)
+    if dense:
+        for r in rows:
+            if r.get("ok"):
+                r["rel_to_dense"] = round(
+                    r["tok_per_sec"] / dense["tok_per_sec"], 3)
+    return {
+        "protocol": "12L8H d512 block512 b8x16, OOM-isolated subprocess per "
+                    "candidate; single chip, experts REPLICATED (EP reclaims "
+                    "the gap by sharding E over the model axis)",
+        "candidates": rows,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/benchmarks/moe_benchmark.json")
+    ap.add_argument("--workdir", default="outputs/moe_quality")
+    ap.add_argument("--genes", type=int, default=600)
+    ap.add_argument("--block_size", type=int, default=256)
+    ap.add_argument("--n_layer", type=int, default=6)
+    ap.add_argument("--n_head", type=int, default=4)
+    ap.add_argument("--n_embd", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--grad_accum", type=int, default=1)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--warmup_steps", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=1337)
+    ap.add_argument("--experts", type=int, default=4)
+    ap.add_argument("--measure_steps", type=int, default=8)
+    ap.add_argument("--timeout", type=float, default=1700.0)
+    ap.add_argument("--skip_quality", action="store_true")
+    ap.add_argument("--skip_throughput", action="store_true")
+    args = ap.parse_args(argv)
+
+    report: dict = {}
+    if not args.skip_quality:
+        report["quality"] = run_quality(args)
+    if not args.skip_throughput:
+        report["throughput_d512"] = run_throughput(args)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=2) + "\n")
+    print(f"[moe-benchmark] wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

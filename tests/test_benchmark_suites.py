@@ -317,3 +317,30 @@ class TestConferenceFigures:
         assert proc.returncode == 0, proc.stderr[-1500:]
         figs = list((tmp_path / "figs").glob("*.png"))
         assert len(figs) == 2
+
+
+class TestMoEBenchmark:
+    def test_quality_protocol_tiny(self, tmp_path):
+        proc = run_cli(
+            "benchmark_moe.py", "--workdir", str(tmp_path / "ws"),
+            "--out", str(tmp_path / "report.json"), "--genes", "40",
+            "--block_size", "64", "--n_layer", "1", "--n_head", "2",
+            "--n_embd", "32", "--batch_size", "8", "--epochs", "1",
+            "--warmup_steps", "1", "--experts", "2", "--skip_throughput",
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads((tmp_path / "report.json").read_text())
+        variants = {v["name"]: v for v in report["quality"]["variants"]}
+        assert set(variants) == {"dense", "moe_2e_top1", "moe_2e_top2"}
+        # every variant judged by the shared evaluator against the same floor
+        for v in variants.values():
+            assert v["val_nll"] > 0 and v["test_nll"] > 0
+            assert "beats_all_markov_baselines" in v
+        # expert bank adds parameters; top-k does not change the count
+        assert variants["moe_2e_top1"]["n_params"] > variants["dense"]["n_params"]
+        assert (variants["moe_2e_top1"]["n_params"]
+                == variants["moe_2e_top2"]["n_params"])
+        assert variants["dense"]["val_nll_delta_vs_dense"] == 0.0
+        assert set(report["quality"]["markov_baselines"]) == {
+            "Uniform", "Unigram", "Bigram", "Trigram"}
