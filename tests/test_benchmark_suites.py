@@ -344,3 +344,23 @@ class TestMoEBenchmark:
         assert variants["dense"]["val_nll_delta_vs_dense"] == 0.0
         assert set(report["quality"]["markov_baselines"]) == {
             "Uniform", "Unigram", "Bigram", "Trigram"}
+
+    def test_lora_transfer_protocol_tiny(self, tmp_path):
+        proc = run_cli(
+            "benchmark_lora.py", "--workdir", str(tmp_path / "ws"),
+            "--out", str(tmp_path / "report.json"), "--genes", "40",
+            "--block_size", "64", "--n_layer", "1", "--n_head", "2",
+            "--n_embd", "32", "--batch_size", "8", "--pretrain_epochs", "1",
+            "--adapt_epochs", "1", "--warmup_steps", "1",
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        report = json.loads((tmp_path / "report.json").read_text())
+        rows = {r["name"]: r for r in report["adaptations"]}
+        assert set(rows) == {"full_ft", "lora_r8", "lora_r2"}
+        # the adapter budgets are a small strict hierarchy of the full one
+        assert (rows["lora_r2"]["trainable_params"]
+                < rows["lora_r8"]["trainable_params"]
+                < rows["full_ft"]["trainable_params"])
+        assert rows["full_ft"]["recovered_fraction_of_full_ft_gain"] in (1.0, None)
+        assert report["zero_shot_on_b_val"]["nll"] > 0
