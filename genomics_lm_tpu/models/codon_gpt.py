@@ -158,9 +158,17 @@ def _linear(p, x):
         y = y + p["b"].astype(x.dtype)
     if "lora_a" in p:
         # LoRA fine-tuning (training/lora.py): rank-r bottleneck add. Two
-        # thin matmuls; the alpha/r scale is folded into lora_a's init.
-        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+        # thin matmuls; the standard alpha/r output scale rides as a frozen
+        # (stop-gradient) leaf so optimizer labeling never trains it.
+        delta = (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+        y = y + _lora_scale(p, x.dtype) * delta
     return y
+
+
+def _lora_scale(p, dtype):
+    if "lora_scale" in p:
+        return jax.lax.stop_gradient(p["lora_scale"]).astype(dtype)
+    return jnp.asarray(1.0, dtype)  # legacy checkpoints: scale folded into a
 
 
 def _layer_norm(p, x, eps: float = 1e-5):
@@ -228,8 +236,9 @@ def _qkv(block_p, x, cfg: CodonGPTConfig):
             # negligible next to the fused base gemm
             qkv = qkv + jnp.concatenate(
                 [
-                    (x @ attn[name]["lora_a"].astype(x.dtype))
-                    @ attn[name]["lora_b"].astype(x.dtype)
+                    _lora_scale(attn[name], x.dtype)
+                    * ((x @ attn[name]["lora_a"].astype(x.dtype))
+                       @ attn[name]["lora_b"].astype(x.dtype))
                     for name in ("query", "key", "value")
                 ],
                 axis=-1,

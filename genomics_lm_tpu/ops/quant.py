@@ -61,7 +61,20 @@ def quantize_params(params: dict) -> dict:
     layer norms, and heads are kept full precision. The returned tree is
     consumed transparently by ``models.codon_gpt`` (``_linear`` dispatches
     on the ``w_q`` key) and by the cached decode path.
+
+    Fails closed on unmerged LoRA checkpoints: ``_quantize_linear_tree``
+    rebuilds each linear from ``w``/``b`` only, which would silently drop
+    trained ``lora_a``/``lora_b`` factors and serve the pretrained base
+    model (the mirror of the attach-side int8 guard in ``training/lora.py``).
     """
+    from genomics_lm_tpu.training.lora import has_lora
+
+    if has_lora(params):
+        raise ValueError(
+            "cannot int8-quantize an unmerged LoRA checkpoint — the adapter "
+            "factors would be silently dropped; fold them into the dense "
+            "weights first (scripts/merge_lora.py or training.lora.merge_lora)"
+        )
     params = dict(params)
     blocks = {k: dict(v) for k, v in params["blocks"].items()}
 

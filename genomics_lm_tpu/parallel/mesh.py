@@ -8,10 +8,14 @@ sharding can be layered on without API changes.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh
+
+logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -55,13 +59,38 @@ def make_mesh(
     return Mesh(devices.reshape(sizes), names)
 
 
-def initialize_distributed(coordinator_address: str | None = None, **kwargs) -> None:
-    """Multi-host bring-up (``jax.distributed.initialize``) — no-op when the
-    process is already single-host or initialization has happened."""
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    *,
+    strict: bool = False,
+    **kwargs,
+) -> bool:
+    """Multi-host bring-up (``jax.distributed.initialize``).
+
+    Returns True on success. By default a failed bring-up degrades to
+    single-host with a LOUD warning carrying the exception text — never
+    silently (a misconfigured coordinator on a real pod would otherwise
+    train N disjoint single-host replicas with no log line). Pod worker
+    entry points pass ``strict=True`` so a bad coordinator address raises
+    instead of degrading.
+    """
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
-    except (RuntimeError, ValueError):
-        pass
+        return True
+    except (RuntimeError, ValueError) as exc:
+        if "already initialized" in str(exc).lower():
+            return True  # idempotent re-entry: bring-up already happened
+        if strict:
+            raise RuntimeError(
+                f"distributed bring-up failed (coordinator="
+                f"{coordinator_address!r}): {exc}"
+            ) from exc
+        logger.warning(
+            "distributed bring-up FAILED — continuing single-host. "
+            "coordinator=%r kwargs=%r error: %s",
+            coordinator_address, kwargs, exc,
+        )
+        return False
 
 
 __all__ = [

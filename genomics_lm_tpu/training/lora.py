@@ -18,19 +18,21 @@ Design, TPU-first:
   checkpointing, DP/ZeRO-1 sharding, and PP stage-splitting all treat the
   adapters as ordinary block leaves.
 * ``lora_b`` starts at zero, so an adapted model is exactly the base model
-  at step 0. The conventional ``alpha / r`` output scale is folded into
-  ``lora_a``'s init (``a ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)) * alpha/r``):
-  with ``b = 0`` the two parameterizations produce identical forwards and
-  the fold keeps the hot path a pure two-matmul add with no scalar leaf to
-  carry through optimizer labeling.
+  at step 0. The conventional ``alpha / r`` output scale is a real output
+  scale (standard LoRA semantics): it rides as a frozen ``lora_scale`` leaf
+  (shape ``(L,)`` so pipeline stage-splitting slices it like every other
+  block leaf), applied under ``stop_gradient`` in the forward and labeled
+  ``frozen`` by the optimizer, so tuning ``lora_alpha`` rescales the whole
+  update direction throughout training — not just the init.
 * ``merge_lora`` folds ``a @ b`` back into ``w`` and drops the adapter
   leaves — the merged checkpoint is a plain dense checkpoint, so decode,
   serving, and int8 weight-only quantization (``ops/quant.py``) need no
   LoRA awareness.
 * Only-adapters training reuses the existing optimizer label machinery:
-  ``training/optim.py::param_group_labels`` puts ``lora_*`` leaves in the
-  no-weight-decay ``fast`` group and, under ``lora_only``, freezes
-  everything else except the aux-head fast group.
+  ``training/optim.py::param_group_labels`` puts adapter factors in their
+  own no-weight-decay ``lora`` group (LR = ``lora_lr``, default cfg ``lr``)
+  and, under ``lora_only``, freezes everything else except the aux-head
+  fast group.
 
 MoE blocks: attention targets apply as usual; expert/router weights are
 never adapted (same exclusion ``ops/quant.py`` applies to int8).
@@ -63,11 +65,12 @@ def _attach(linear: dict, rng, rank: int, scale: float) -> None:
             f"got shape {w.shape}"
         )
     n_layer, fan_in, fan_out = w.shape
-    k = scale / math.sqrt(fan_in)
+    k = 1.0 / math.sqrt(fan_in)
     linear["lora_a"] = jax.random.uniform(
         rng, (n_layer, fan_in, rank), jnp.float32, -k, k
     )
     linear["lora_b"] = jnp.zeros((n_layer, rank, fan_out), jnp.float32)
+    linear["lora_scale"] = jnp.full((n_layer,), scale, jnp.float32)
 
 
 def add_lora_adapters(
@@ -120,6 +123,9 @@ def _merge_node(node):
         delta = jnp.einsum(
             "...ir,...ro->...io", node.pop("lora_a"), node.pop("lora_b")
         )
+        if "lora_scale" in node:
+            scale = node.pop("lora_scale")  # (L,) → broadcast over (L, in, out)
+            delta = delta * scale[..., None, None]
         node["w"] = node["w"] + delta.astype(node["w"].dtype)
         return node
     if isinstance(node, dict):
@@ -142,8 +148,10 @@ def has_lora(params: dict) -> bool:
 
 
 def lora_param_count(params: dict) -> int:
+    """Trainable adapter parameters (the frozen ``lora_scale`` leaf excluded)."""
     total = 0
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        if "lora_" in jax.tree_util.keystr(path):
+        key = jax.tree_util.keystr(path)
+        if "lora_" in key and "lora_scale" not in key:
             total += int(leaf.size)
     return total

@@ -122,15 +122,19 @@ def param_group_labels(
 
     The shape encoder trains in the base group only when explicitly
     unfrozen (reference ``loop.py:670-695``); otherwise it stays frozen.
-    LoRA adapter leaves (``training/lora.py``) always train in the
-    no-weight-decay fast group; ``lora_only`` additionally freezes every
-    non-adapter leaf outside the aux-head fast group (the standard
-    frozen-backbone LoRA recipe).
+    LoRA adapter leaves (``training/lora.py``) get their own no-weight-decay
+    ``lora`` group so they train at ``lora_lr`` (default: cfg ``lr``) even
+    when ``lr_embedding`` retunes the aux-head fast group; the frozen
+    ``lora_scale`` alpha/r leaf never trains. ``lora_only`` additionally
+    freezes every non-adapter leaf outside the aux-head fast group (the
+    standard frozen-backbone LoRA recipe).
     """
 
     def label_path(path: str) -> str:
+        if "lora_scale" in path:
+            return "frozen"
         if "lora_" in path:
-            return "fast"
+            return "lora"
         if "shape_encoder" in path:
             return "base" if (unfreeze_encoder and not freeze_backbone) else "frozen"
         fast = any(marker in path for marker in FAST_GROUP_MARKERS)
@@ -171,16 +175,20 @@ def build_optimizer(cfg: dict, params: dict, total_steps: int) -> OptimizerBundl
         scheduler_name = "cosine"
     warmup_steps = resolve_warmup_steps(cfg, total_steps)
 
+    lora_lr = float(cfg.get("lora_lr", base_lr))
+
     if scheduler_name == "cosine":
         min_lr_ratio = (min_lr / base_lr) if base_lr > 0 else 0.0
         mult = cosine_lr_lambda(warmup_steps, total_steps, min_lr_ratio)
         base_schedule = lambda step: base_lr * mult(step)  # noqa: E731
         fast_schedule = lambda step: lr_embed * mult(step)  # noqa: E731
+        lora_schedule = lambda step: lora_lr * mult(step)  # noqa: E731
         plateau = None
     else:
         # plateau: host-side scale handles decay + warmup; schedules constant
         base_schedule = base_lr
         fast_schedule = lr_embed
+        lora_schedule = lora_lr
         plateau = PlateauScheduler(
             base_lr=base_lr,
             min_lr=min_lr,
@@ -204,6 +212,7 @@ def build_optimizer(cfg: dict, params: dict, total_steps: int) -> OptimizerBundl
     transforms = {
         "fast": make_tx(fast_schedule, 0.0),
         "base": make_tx(base_schedule, weight_decay),
+        "lora": make_tx(lora_schedule, 0.0),
         "frozen": optax.set_to_zero(),
     }
     labels = param_group_labels(

@@ -76,7 +76,15 @@ def build_dataset(workdir: Path, *, genes: int, block_size: int, seed: int) -> P
     return dataset_dir
 
 
-def run_quality(args) -> dict:
+def run_quality(args, *, epochs: int | None = None,
+                run_prefix: str = "moe-quality") -> dict:
+    """One full dense-vs-MoE quality pass at a given epoch budget.
+
+    Called twice by ``main``: at the mid-budget (``--epochs``, where the
+    per-step convergence advantage shows) and at the converged budget
+    (``--converged_epochs``, where the demo corpus saturates to parity) —
+    both sections of the committed artifact regenerate from the defaults.
+    """
     import numpy as np
 
     from genomics_lm_tpu.evals.markov import evaluate_baselines, fit_baselines
@@ -86,6 +94,7 @@ def run_quality(args) -> dict:
     from genomics_lm_tpu.training import checkpoints as ckpt_lib
     from genomics_lm_tpu.training.loop import run_training
 
+    epochs = args.epochs if epochs is None else epochs
     workdir = Path(args.workdir)
     dataset_dir = build_dataset(workdir, genes=args.genes,
                                 block_size=args.block_size, seed=args.seed)
@@ -110,7 +119,7 @@ def run_quality(args) -> dict:
         "warmup_steps": args.warmup_steps,
         "optimizer": "adamw",
         "scheduler": "cosine",
-        "epochs": args.epochs,
+        "epochs": epochs,
         "seed": args.seed,
         "dataloader_seed": args.seed,
         "early_stop_patience": 0,
@@ -132,8 +141,8 @@ def run_quality(args) -> dict:
     for name, extra in quality_variants(args.experts):
         cfg = dict(shared_cfg)
         cfg.update(extra)
-        cfg["run_id"] = f"moe-quality-{name}"
-        print(f"[moe-quality] training {name} ...", flush=True)
+        cfg["run_id"] = f"{run_prefix}-{name}"
+        print(f"[{run_prefix}] training {name} (epochs={epochs}) ...", flush=True)
         t0 = time.perf_counter()
         meta = run_training(cfg, run_root=workdir / "runs")
         wall = time.perf_counter() - t0
@@ -173,7 +182,7 @@ def run_quality(args) -> dict:
     return {
         "protocol": {
             "corpus": f"make_demo_corpus genes={args.genes} seed={args.seed}",
-            "budget": f"epochs={args.epochs} b{args.batch_size}x{args.grad_accum} "
+            "budget": f"epochs={epochs} b{args.batch_size}x{args.grad_accum} "
                       f"lr={args.lr} (identical for every variant)",
             "model": f"{args.n_layer}L{args.n_head}H d{args.n_embd} "
                      f"block{block}, dropout 0, label smoothing 0",
@@ -226,14 +235,17 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/benchmarks/moe_benchmark.json")
     ap.add_argument("--workdir", default="outputs/moe_quality")
-    ap.add_argument("--genes", type=int, default=600)
+    ap.add_argument("--genes", type=int, default=800)
     ap.add_argument("--block_size", type=int, default=256)
     ap.add_argument("--n_layer", type=int, default=6)
     ap.add_argument("--n_head", type=int, default=4)
     ap.add_argument("--n_embd", type=int, default=256)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--grad_accum", type=int, default=1)
-    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--converged_epochs", type=int, default=30,
+                    help="second quality pass at this saturated budget "
+                         "(emits quality_converged; 0 disables)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--warmup_steps", type=int, default=20)
     ap.add_argument("--seed", type=int, default=1337)
@@ -247,6 +259,10 @@ def main(argv=None) -> int:
     report: dict = {}
     if not args.skip_quality:
         report["quality"] = run_quality(args)
+        if args.converged_epochs:
+            report["quality_converged"] = run_quality(
+                args, epochs=args.converged_epochs,
+                run_prefix="moe-quality-conv")
     if not args.skip_throughput:
         report["throughput_d512"] = run_throughput(args)
 

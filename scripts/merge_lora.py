@@ -36,6 +36,13 @@ def main(argv=None) -> int:
     payload = dict(payload)
     payload["model"] = merge_lora(payload["model"])
     payload.pop("optimizer", None)  # adapter-shaped; meaningless post-merge
+    if isinstance(payload.get("cfg"), dict):
+        # the merged tree is plain dense: any consumer seeding a run config
+        # from this cfg (resume/transfer, build_optimizer's lora_only
+        # default) must not re-attach adapters or freeze the backbone
+        payload["cfg"] = {
+            k: v for k, v in payload["cfg"].items() if not k.startswith("lora_")
+        }
     ckpt_lib.save_checkpoint(payload, args.out)
     print(f"[merge_lora] wrote {args.out}")
     return 0

@@ -33,6 +33,7 @@ def main() -> int:
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=nprocs,
         process_id=pid,
+        strict=True,  # a pod worker must never degrade to single-host
     )
     assert jax.device_count() == nprocs, jax.devices()
     assert jax.process_count() == nprocs

@@ -52,6 +52,7 @@ def main() -> int:
             coordinator_address=f"127.0.0.1:{port}",
             num_processes=nprocs,
             process_id=pid,
+            strict=True,  # a pod worker must never degrade to single-host
         )
     assert jax.device_count() == DP * PP
 

@@ -78,17 +78,55 @@ class TestAttach:
         a = adapted["blocks"]["attn"]["query"]["lora_a"]
         assert a.shape == (cfg.n_layer, cfg.n_embd, 4)
 
-    def test_alpha_scales_a_init(self):
+    def test_alpha_is_a_standard_output_scale(self):
+        # doubling alpha doubles the adapter *delta* on the logits (standard
+        # LoRA alpha/r semantics), not just lora_a's init magnitude
         cfg = tiny_cfg()
         params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
         a1 = lora_lib.add_lora_adapters(params, jax.random.PRNGKey(1),
                                         rank=4, alpha=4.0)
         a2 = lora_lib.add_lora_adapters(params, jax.random.PRNGKey(1),
                                         rank=4, alpha=8.0)
-        q1 = a1["blocks"]["attn"]["query"]["lora_a"]
-        q2 = a2["blocks"]["attn"]["query"]["lora_a"]
-        np.testing.assert_allclose(np.asarray(q2), 2.0 * np.asarray(q1),
-                                   rtol=1e-6)
+        np.testing.assert_array_equal(  # same init; only the scale differs
+            np.asarray(a1["blocks"]["attn"]["query"]["lora_a"]),
+            np.asarray(a2["blocks"]["attn"]["query"]["lora_a"]))
+        rng = np.random.default_rng(7)
+        for name in lora_lib.ATTN_LINEARS:
+            b = jnp.asarray(
+                rng.standard_normal(
+                    a1["blocks"]["attn"][name]["lora_b"].shape) * 0.02,
+                jnp.float32)
+            a1["blocks"]["attn"][name]["lora_b"] = b
+            a2["blocks"]["attn"][name]["lora_b"] = b
+        # merged-weight delta is the exact adapter contribution: doubling
+        # alpha doubles it (scale * a @ b), layer nonlinearity aside
+        for name in lora_lib.ATTN_LINEARS:
+            d1 = np.asarray(lora_lib.merge_lora(a1)["blocks"]["attn"][name]["w"]
+                            - params["blocks"]["attn"][name]["w"])
+            d2 = np.asarray(lora_lib.merge_lora(a2)["blocks"]["attn"][name]["w"]
+                            - params["blocks"]["attn"][name]["w"])
+            np.testing.assert_allclose(d2, 2.0 * d1, rtol=1e-5, atol=1e-7)
+        # and the forward honors the scale leaf: q-projection outputs obey
+        # the same exact 2x relation through _linear's dispatch
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (2, cfg.block_size, cfg.n_embd)), jnp.float32)
+        lin = lambda t: np.asarray(  # noqa: E731
+            codon_gpt._linear(
+                jax.tree.map(lambda l: l[0], t["blocks"]["attn"]["query"]), x))
+        base_q = lin(params)
+        dq1 = lin(a1) - base_q
+        dq2 = lin(a2) - base_q
+        np.testing.assert_allclose(dq2, 2.0 * dq1, rtol=1e-4, atol=1e-6)
+
+    def test_alpha_survives_training_direction(self):
+        # the scale leaf is frozen: training never changes it, and gradients
+        # still flow through stop_gradient's value
+        cfg = tiny_cfg()
+        params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+        adapted = lora_lib.add_lora_adapters(params, jax.random.PRNGKey(1),
+                                             rank=4, alpha=16.0)
+        scale = adapted["blocks"]["attn"]["query"]["lora_scale"]
+        np.testing.assert_allclose(np.asarray(scale), 16.0 / 4.0)
 
     def test_int8_and_moe_mlp_fail_closed(self):
         cfg = tiny_cfg()
@@ -98,6 +136,13 @@ class TestAttach:
         with pytest.raises(ValueError, match="int8"):
             lora_lib.add_lora_adapters(
                 quantize_params(params), jax.random.PRNGKey(1), rank=2)
+        # …and the mirror direction: quantizing an unmerged adapter tree
+        # would silently drop the trained factors — must refuse
+        adapted = lora_lib.add_lora_adapters(params, jax.random.PRNGKey(1),
+                                             rank=2)
+        with pytest.raises(ValueError, match="merge"):
+            quantize_params(adapted)
+        quantize_params(lora_lib.merge_lora(adapted))  # merged: allowed
         moe = tiny_cfg(moe_experts=2, moe_top_k=1)
         moe_params = codon_gpt.init(jax.random.PRNGKey(0), moe)
         with pytest.raises(ValueError, match="MoE"):
@@ -141,6 +186,33 @@ class TestTrainingSemantics:
         # every lora_b moved off zero once gradients flow
         assert any("lora_b" in p for p in changed)
         assert float(metrics["total_loss_sum"]) > 0
+
+    def test_adapters_train_at_lora_lr_not_lr_embedding(self):
+        # pretrain configs set lr_embedding for the aux-head fast group;
+        # adapters must follow cfg lr / lora_lr, not silently ride that knob
+        cfg = tiny_cfg()
+        params = lora_lib.add_lora_adapters(
+            codon_gpt.init(jax.random.PRNGKey(0), cfg),
+            jax.random.PRNGKey(1), rank=4)
+        run_cfg = {"lr": 1e-3, "lr_embedding": 1e-1, "warmup_steps": 0,
+                   "lora_rank": 4}
+        labels = optim_lib.param_group_labels(params, lora_only=True)
+        flat = {
+            jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(labels)[0]
+        }
+        assert flat["['blocks']['attn']['query']['lora_a']"] == "lora"
+        assert flat["['blocks']['attn']['query']['lora_scale']"] == "frozen"
+        # amplifying lora_lr amplifies the first-step adapter delta while
+        # lr_embedding is held fixed — proof the adapter LR is its own knob
+        t_small, _ = self._train_steps(cfg, params, run_cfg, n=1)
+        t_big, _ = self._train_steps(
+            cfg, params, dict(run_cfg, lora_lr=1e-2), n=1)
+        def delta(t):
+            return float(jnp.abs(
+                t["blocks"]["attn"]["query"]["lora_b"]
+                - params["blocks"]["attn"]["query"]["lora_b"]).max())
+        assert delta(t_big) > 2.0 * delta(t_small)
 
     def test_merge_matches_adapter_forward(self):
         cfg = tiny_cfg(fused_qkv=True)
@@ -222,6 +294,10 @@ class TestTrainerEndToEnd:
                  "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO)},
         )
         assert proc.returncode == 0, proc.stderr[-1500:]
+        merged_payload = ckpt_lib.load_checkpoint(merged)
+        # the merged cfg must not re-seed adapters (build_optimizer's
+        # lora_only default keys off lora_rank) on a checkpoint without any
+        assert not any(k.startswith("lora_") for k in merged_payload["cfg"])
         model_cfg = CodonGPTConfig.from_run_config(dict(ft_cfg, vocab_size=68))
         ev_adapter = evaluate_perplexity(
             ckpt_lib.load_checkpoint(ft_ckpt)["model"], model_cfg,

