@@ -35,23 +35,32 @@ _FIT_CHUNK_TOKENS = 1 << 20
 _DENSE_VOCAB_LIMIT = 256
 
 
-def _row_contexts(xs, ys, reset_token_ids):
-    """Yield per-row ``(prev2, prev, target)`` arrays for non-PAD targets.
+def _contexts_for_row(x, y, reset: np.ndarray):
+    """``(prev2, prev, target)`` arrays for one row's non-PAD targets.
 
     ``prev`` is the conditioning token x[t]; ``prev2`` is x[t-1], forced to
     PAD at position 0 and wherever x[t] is a reset token (the trigram
-    history restart at <SEP> boundaries).
+    history restart at <SEP> boundaries). Returns None for rows with no
+    evaluable targets.
     """
+    prev = np.asarray(x, dtype=np.int64).ravel()
+    target = np.asarray(y, dtype=np.int64).ravel()
+    prev2 = np.concatenate(([PAD_ID], prev[:-1]))
+    if reset.size:
+        prev2 = np.where(np.isin(prev, reset), PAD_ID, prev2)
+    keep = target != PAD_ID
+    if not keep.any():
+        return None
+    return prev2[keep], prev[keep], target[keep]
+
+
+def _row_contexts(xs, ys, reset_token_ids):
+    """Yield per-row ``(prev2, prev, target)`` arrays for non-PAD targets."""
     reset = np.asarray(sorted(reset_token_ids), dtype=np.int64)
     for x, y in zip(xs, ys):
-        prev = np.asarray(x, dtype=np.int64).ravel()
-        target = np.asarray(y, dtype=np.int64).ravel()
-        prev2 = np.concatenate(([PAD_ID], prev[:-1]))
-        if reset.size:
-            prev2 = np.where(np.isin(prev, reset), PAD_ID, prev2)
-        keep = target != PAD_ID
-        if keep.any():
-            yield prev2[keep], prev[keep], target[keep]
+        triple = _contexts_for_row(x, y, reset)
+        if triple is not None:
+            yield triple
 
 
 def fit_baselines(
@@ -189,16 +198,12 @@ def _sparse_lookup(store: dict, totals: dict, ctx: np.ndarray,
     return count, total, seen
 
 
-def evaluate_baselines(
-    xs: np.ndarray,
-    ys: np.ndarray,
-    counts,
-    vocab_size: int,
-    alpha: float = 0.01,
-    *,
-    reset_token_ids: frozenset = frozenset(),
-):
-    """Per-model NLL/PPL/bits + improvement over the best simple model."""
+def _make_row_nll_fn(counts, vocab_size: int, alpha: float):
+    """Closure computing per-model NLL *sums* for one row's contexts.
+
+    Shared by corpus evaluation and the per-row path the paired bootstrap
+    needs (``per_row_baseline_nll``); identical smoothing/backoff math.
+    """
     V = int(vocab_size)
     active = V - 1
     dense = V <= _DENSE_VOCAB_LIMIT
@@ -223,12 +228,9 @@ def evaluate_baselines(
         tri_row_totals = {k: float(r[1:].sum()) for k, r in trigram_store.items()}
     smooth = alpha * active
 
-    nll = dict.fromkeys(MODEL_NAMES, 0.0)
-    tokens = 0
-    for prev2, prev, target in _row_contexts(xs, ys, reset_token_ids):
-        tokens += target.size
-        nll["Uniform"] += target.size * math.log(active)
-        nll["Unigram"] -= float(
+    def row_nll(prev2, prev, target) -> dict:
+        out = {"Uniform": target.size * math.log(active)}
+        out["Unigram"] = -float(
             np.log((uni[target] + alpha) / (uni_total + smooth)).sum()
         )
         if dense:
@@ -243,16 +245,71 @@ def evaluate_baselines(
                 bigram_store, bi_row_totals, prev, target)
             tri_count_raw, tri_total_raw, seen = _sparse_lookup(
                 trigram_store, tri_row_totals, prev2 * V + prev, target)
-        nll["Bigram"] -= float(
+        out["Bigram"] = -float(
             np.log((bi_count + alpha) / (bi_total + smooth)).sum()
         )
         # Trigram with backoff: contexts never seen in training fall back to
         # the bigram row for the same ``prev`` (reference backoff branch).
         tri_count = np.where(seen, tri_count_raw, bi_count)
         tri_total = np.where(seen, tri_total_raw, bi_total)
-        nll["Trigram"] -= float(
+        out["Trigram"] = -float(
             np.log((tri_count + alpha) / (tri_total + smooth)).sum()
         )
+        return out
+
+    return row_nll
+
+
+def per_row_baseline_nll(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    counts,
+    vocab_size: int,
+    alpha: float = 0.01,
+    *,
+    reset_token_ids: frozenset = frozenset(),
+):
+    """Per-packed-row NLL sums and token counts for every baseline.
+
+    The row (packed window) is the resampling unit of the paired bootstrap
+    (``evals.significance``): pairing with ``perplexity.per_row_model_nll``
+    holds because both walk the split in dataset row order. Rows with no
+    evaluable target contribute zeros.
+    """
+    row_fn = _make_row_nll_fn(counts, vocab_size, alpha)
+    reset = np.asarray(sorted(reset_token_ids), dtype=np.int64)
+    n = len(xs)
+    nll_rows = {name: np.zeros(n, dtype=np.float64) for name in MODEL_NAMES}
+    tokens_rows = np.zeros(n, dtype=np.int64)
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        triple = _contexts_for_row(x, y, reset)
+        if triple is None:
+            continue
+        sums = row_fn(*triple)
+        tokens_rows[i] = triple[2].size
+        for name in MODEL_NAMES:
+            nll_rows[name][i] = sums[name]
+    return nll_rows, tokens_rows
+
+
+def evaluate_baselines(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    counts,
+    vocab_size: int,
+    alpha: float = 0.01,
+    *,
+    reset_token_ids: frozenset = frozenset(),
+):
+    """Per-model NLL/PPL/bits + improvement over the best simple model."""
+    row_fn = _make_row_nll_fn(counts, vocab_size, alpha)
+    nll = dict.fromkeys(MODEL_NAMES, 0.0)
+    tokens = 0
+    for prev2, prev, target in _row_contexts(xs, ys, reset_token_ids):
+        tokens += target.size
+        sums = row_fn(prev2, prev, target)
+        for name in MODEL_NAMES:
+            nll[name] += sums[name]
 
     if tokens == 0:
         raise ValueError("test dataset has no evaluable non-PAD targets")
@@ -277,4 +334,9 @@ def evaluate_baselines(
     return results, tokens, best_name
 
 
-__all__ = ["MODEL_NAMES", "evaluate_baselines", "fit_baselines"]
+__all__ = [
+    "MODEL_NAMES",
+    "evaluate_baselines",
+    "fit_baselines",
+    "per_row_baseline_nll",
+]

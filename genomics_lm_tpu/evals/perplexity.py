@@ -66,6 +66,52 @@ def evaluate_perplexity(
     }
 
 
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _per_row_nll_sums(params, cfg: CodonGPTConfig, batch, attention_window):
+    """Per-row (sum of per-token NLL over non-PAD targets, token count)."""
+    x, y = batch
+    logits, _ = codon_gpt.forward(params, cfg, x, attention_window=attention_window)
+    logits = logits.astype(jnp.float32)
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    true_logit = jnp.take_along_axis(logits, y[..., None], axis=-1)[..., 0]
+    nll = logz - true_logit
+    valid = y != 0
+    return (
+        jnp.sum(jnp.where(valid, nll, 0.0), axis=1),
+        jnp.sum(valid, axis=1),
+    )
+
+
+def per_row_model_nll(
+    params,
+    cfg: CodonGPTConfig,
+    dataset: PackedDataset | str | Path,
+    *,
+    batch_size: int = 64,
+    attention_window: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-packed-row (NLL sum, token count) in dataset row order.
+
+    The resampling unit for the paired bootstrap (``evals.significance``):
+    pairs positionally with ``markov.per_row_baseline_nll`` because both
+    walk the split in dataset row order.
+    """
+    if not isinstance(dataset, PackedDataset):
+        dataset = PackedDataset(dataset)
+    pad_to = None if not dataset.is_dynamic else int(dataset.seq_lengths.max())
+    sums = np.zeros(len(dataset), dtype=np.float64)
+    toks = np.zeros(len(dataset), dtype=np.int64)
+    for lo in range(0, len(dataset), batch_size):
+        idx = list(range(lo, min(lo + batch_size, len(dataset))))
+        x, y = dataset.fetch_batch(idx, pad_to=pad_to)
+        s, n = _per_row_nll_sums(
+            params, cfg, (jnp.asarray(x), jnp.asarray(y)), attention_window
+        )
+        sums[lo : lo + len(idx)] = np.asarray(s, dtype=np.float64)
+        toks[lo : lo + len(idx)] = np.asarray(n, dtype=np.int64)
+    return sums, toks
+
+
 def context_ablation(
     params, cfg: CodonGPTConfig, dataset, windows=(1, 2, 4, None), **kwargs
 ) -> dict:
@@ -78,4 +124,4 @@ def context_ablation(
     }
 
 
-__all__ = ["context_ablation", "evaluate_perplexity"]
+__all__ = ["context_ablation", "evaluate_perplexity", "per_row_model_nll"]

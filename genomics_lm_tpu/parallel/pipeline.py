@@ -104,11 +104,32 @@ def merge_stage_params(params: dict) -> dict:
 
 def stage_param_sharding(mesh: Mesh, tree: Any) -> Any:
     """NamedSharding pytree: block leaves split over ``pipe``, rest
-    replicated. Accepts the params dict or a stage-split optax state."""
-    rep = NamedSharding(mesh, P())
-    piped = NamedSharding(mesh, P(PIPE_AXIS))
-    return _map_block_leaves(
-        jax.tree.map(lambda _: rep, tree), lambda _: piped)
+    replicated. Accepts the params dict or a stage-split optax state.
+
+    When the mesh also carries a ``model`` axis (>1), block linears
+    additionally take the Megatron column/row tensor-parallel splits on
+    their fan dimensions (``sharding.tp_spec`` — the rules match path
+    suffixes, so the 4-D stage-split shapes (S, Lps, fan_in, fan_out)
+    shard exactly like the stacked 3-D layout): all three axes compose on
+    one mesh — DP outside, TP inside each pipeline stage.
+    """
+    from genomics_lm_tpu.parallel.mesh import MODEL_AXIS
+    from genomics_lm_tpu.parallel.sharding import _path_names, tp_spec
+
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+
+    def leaf(path, x):
+        names = _path_names(path)
+        shape = getattr(x, "shape", ())
+        if "blocks" not in names:
+            return NamedSharding(mesh, P())
+        parts = list(tp_spec(names, shape, tp, MODEL_AXIS))
+        parts += [None] * (len(shape) - len(parts))
+        if shape:
+            parts[0] = PIPE_AXIS
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map_with_path(leaf, tree)
 
 
 def stage_opt_state_sharding(mesh: Mesh, opt_state: Any, *,
@@ -116,29 +137,36 @@ def stage_opt_state_sharding(mesh: Mesh, opt_state: Any, *,
     """NamedShardings for a stage-split optax state, optionally ZeRO-1.
 
     Block-path leaves (AdamW moments mirror the params tree) lead with the
-    ``pipe`` axis like :func:`stage_param_sharding`. With ``zero1`` each
-    leaf additionally shards its first remaining divisible dimension over
-    the ``data`` axis — the PP analog of
+    ``pipe`` axis like :func:`stage_param_sharding`, and take the same
+    Megatron fan splits when the mesh carries a ``model`` axis. With
+    ``zero1`` each leaf additionally shards its first remaining divisible
+    dimension over the ``data`` axis — the PP analog of
     ``sharding.zero1_opt_state_sharding``, so stage-param moments never
     replicate across data-parallel peers.
     """
-    dp = mesh.shape.get(DATA_AXIS, 1)
+    from genomics_lm_tpu.parallel.mesh import MODEL_AXIS
+    from genomics_lm_tpu.parallel.sharding import _path_names, tp_spec
 
-    def spec(shape, under_blocks: bool) -> P:
-        parts = [None] * len(shape)
-        if under_blocks and shape:
-            parts[0] = PIPE_AXIS
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+
+    def visit(path, leaf):
+        names = _path_names(path)
+        shape = getattr(leaf, "shape", ())
+        under_blocks = "blocks" in names
+        if under_blocks:
+            parts = list(tp_spec(names, shape, tp, MODEL_AXIS))
+            parts += [None] * (len(shape) - len(parts))
+            if shape:
+                parts[0] = PIPE_AXIS
+        else:
+            parts = [None] * len(shape)
         if zero1 and dp > 1:
             for dim, size in enumerate(shape):
                 if parts[dim] is None and size > 0 and size % dp == 0:
                     parts[dim] = DATA_AXIS
                     break
-        return P(*parts)
-
-    def visit(path, leaf):
-        under_blocks = any(getattr(p, "key", None) == "blocks" for p in path)
-        return NamedSharding(
-            mesh, spec(getattr(leaf, "shape", ()), under_blocks))
+        return NamedSharding(mesh, P(*parts))
 
     return jax.tree_util.tree_map_with_path(visit, opt_state)
 
@@ -286,12 +314,18 @@ def pipeline_loss(
     )
     if train_rng is not None:
         in_specs = in_specs + (P(),)      # rng key replicated
+    # manual only over (data, pipe): any further mesh axis (e.g. 'model')
+    # stays GSPMD-auto, so Megatron-split block weights inside each stage
+    # get their tensor-parallel collectives from the compiler — the
+    # DP × TP × PP composition runs as one program
+    manual = {PIPE_AXIS} | ({DATA_AXIS} if has_data else set())
     fn = jax.shard_map(
         functools.partial(_pipeline_shard_fn, cfg=cfg, n_stages=n_stages,
                           has_data_axis=has_data),
         mesh=mesh,
         in_specs=in_specs,
         out_specs=P(),
+        axis_names=manual,
         check_vma=False,
     )
     if train_rng is not None:

@@ -428,12 +428,14 @@ def run_training(
 
         tensor_parallel = mesh.shape.get("model", 1) > 1
         if pipeline:
-            # GPipe depth sharding over the 'pipe' axis. The pipeline step
-            # commits the plain next-token CE only — every other objective
-            # fails closed rather than silently training without it.
+            # GPipe depth sharding over the 'pipe' axis; a 'model' axis
+            # composes as Megatron TP inside each stage (GSPMD-auto under
+            # the shard_map — pipeline.stage_param_sharding). The pipeline
+            # step commits the plain next-token CE only — every other
+            # objective fails closed rather than silently training
+            # without it.
             unsupported = [
                 name for name, on in (
-                    ("tensor_parallel", tensor_parallel),
                     ("multi_offset_loss", bool(multi_offset_weights)),
                     ("termination_loss", loss_cfg.termination_enabled),
                     ("replay_loss", loss_cfg.replay_enabled),
@@ -562,6 +564,7 @@ def run_training(
         print(
             f"[mesh] pipeline: pipe={mesh.shape['pipe']} "
             f"data={mesh.shape.get('data', 1)} "
+            f"model={mesh.shape.get('model', 1)} "
             f"layers_per_stage={model_cfg.n_layer // mesh.shape['pipe']} "
             f"microbatches_per_group={gacc} zero1={pp_zero1}"
         )

@@ -225,9 +225,190 @@ def run_throughput(args) -> dict:
                     r["tok_per_sec"] / dense["tok_per_sec"], 3)
     return {
         "protocol": "12L8H d512 block512 b8x16, OOM-isolated subprocess per "
-                    "candidate; single chip, experts REPLICATED (EP reclaims "
-                    "the gap by sharding E over the model axis)",
+                    "candidate; single chip, experts REPLICATED — see the "
+                    "ep_analysis section for the measured memory and "
+                    "collective structure EP reclaims",
         "candidates": rows,
+    }
+
+
+_HLO_COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+    "collective-permute",
+)
+_HLO_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+    "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+}
+
+
+def collective_bytes_from_hlo(hlo_text: str) -> dict:
+    """Sum the output bytes of every collective op in a compiled HLO module.
+
+    Wall-clock on a virtual CPU mesh is not tok/s truth, but the PARTITIONED
+    PROGRAM STRUCTURE is exact: GSPMD emits the same collectives it would on
+    a pod, so output-bytes-per-op is a hardware-independent measure of the
+    communication each sharding choice buys.
+    """
+    import re
+
+    shape_re = re.compile(r"(\w+)\[([0-9,]*)\]")
+    totals = {name: 0 for name in _HLO_COLLECTIVES}
+    counts = {name: 0 for name in _HLO_COLLECTIVES}
+    for line in hlo_text.splitlines():
+        stripped = line.strip()
+        for name in _HLO_COLLECTIVES:
+            # match the op as the instruction on this line (lhs = ... op(...)
+            if f" {name}(" not in stripped and not stripped.startswith(f"{name}("):
+                continue
+            lhs = stripped.split(f" {name}(")[0]
+            for dtype, dims in shape_re.findall(lhs):
+                nbytes = _HLO_DTYPE_BYTES.get(dtype)
+                if nbytes is None:
+                    continue
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                totals[name] += n * nbytes
+            counts[name] += 1
+            break
+    return {
+        "bytes_by_op": {k: v for k, v in totals.items() if counts[k]},
+        "count_by_op": {k: v for k, v in counts.items() if counts[k]},
+        "total_bytes": int(sum(totals.values())),
+    }
+
+
+def run_ep_analysis(args) -> dict:
+    """EP-sharded vs experts-replicated: exact memory + communication structure.
+
+    Backs the throughput section's claim that expert parallelism reclaims
+    the replicated-expert cost: on the virtual 8-device mesh, measure
+    per-device bytes actually resident for expert weights and their AdamW
+    moments (from each array's addressable shards — exact), and the
+    collective bytes-moved per compiled train step (from the partitioned
+    HLO — structurally exact; CPU wall-clock is deliberately NOT reported).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from genomics_lm_tpu.models import codon_gpt
+    from genomics_lm_tpu.models.config import CodonGPTConfig
+    from genomics_lm_tpu.parallel.mesh import make_mesh
+    from genomics_lm_tpu.parallel.sharding import (
+        moe_param_sharding,
+        opt_state_sharding,
+        zero1_opt_state_sharding,
+    )
+    from genomics_lm_tpu.training.train_step import LossConfig, make_train_step
+
+    if jax.device_count() < 8:
+        raise SystemExit(
+            "--ep_analysis needs >= 8 devices; run with JAX_PLATFORMS=cpu "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8")
+
+    seq = int(args.ep_seq_len)
+    model = dict(D512_MODEL, block_size=seq, attention_impl="xla",
+                 compute_dtype="bfloat16", dropout=0.0,
+                 moe_experts=args.experts, moe_top_k=2,
+                 moe_capacity_factor=1.25)
+    model.pop("flash_block_q", None)
+    model.pop("flash_block_k", None)
+    cfg = CodonGPTConfig.from_run_config(dict(model, use_sdpa=False))
+    params = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(3e-4)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, LossConfig(), tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.integers(4, 68, (1, 8, seq)), jnp.int32),
+        "y": jnp.asarray(rng.integers(4, 68, (1, 8, seq)), jnp.int32),
+    }
+
+    def expert_leaves(tree):
+        out = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            names = [str(getattr(p, "key", "")) for p in path]
+            shape = getattr(leaf, "shape", ())
+            if "mlp" in names and len(shape) >= 2 and shape[1] == args.experts:
+                out.append(leaf)
+        return out
+
+    def bytes_on_device0(leaves):
+        dev0 = jax.devices()[0]
+        total = 0
+        for leaf in leaves:
+            total += sum(s.data.nbytes for s in leaf.addressable_shards
+                         if s.device == dev0)
+        return int(total)
+
+    def analyze(tag, mesh, p_shard, o_shard):
+        params_s = jax.device_put(params, p_shard)
+        opt_s = jax.device_put(opt_state, o_shard)
+        batch_s = {
+            k: jax.device_put(v, NamedSharding(mesh, P(None, "data")))
+            for k, v in batch.items()
+        }
+        key = jax.random.key(1)
+        one = jnp.asarray(1.0)
+        # make_train_step returns a jitted callable — lower it directly
+        hlo = step.lower(params_s, opt_s, batch_s, key, one).compile().as_text()
+        return {
+            "mesh": tag,
+            "expert_weight_bytes_per_device": bytes_on_device0(
+                expert_leaves(params_s)),
+            "expert_moment_bytes_per_device": bytes_on_device0(
+                expert_leaves(opt_s)),
+            "total_param_bytes_per_device": bytes_on_device0(
+                jax.tree.leaves(params_s)),
+            "total_moment_bytes_per_device": bytes_on_device0(
+                jax.tree.leaves(opt_s)),
+            "collectives_per_step": collective_bytes_from_hlo(hlo),
+        }
+
+    mesh_rep = make_mesh(8, axes={"data": 8})
+    rep = analyze(
+        "data=8 (experts replicated, ZeRO-1)",
+        mesh_rep,
+        jax.tree.map(lambda _: NamedSharding(mesh_rep, P()), params),
+        zero1_opt_state_sharding(opt_state, mesh_rep),
+    )
+    mesh_ep = make_mesh(8, axes={"data": 4, "model": 2})
+    ep = analyze(
+        "data=4 x model=2 (EP over model, attention TP, ZeRO-1)",
+        mesh_ep,
+        moe_param_sharding(params, mesh_ep, n_experts=args.experts,
+                           axis="model", tp_axis="model"),
+        opt_state_sharding(opt_state, mesh_ep, tp_axis="model",
+                           ep_axis="model", n_experts=args.experts,
+                           zero1=True),
+    )
+
+    for row in (rep, ep):
+        print(f"[ep-analysis] {row['mesh']}: expert weights "
+              f"{row['expert_weight_bytes_per_device']/2**20:.1f} MiB/dev, "
+              f"moments {row['expert_moment_bytes_per_device']/2**20:.1f} "
+              f"MiB/dev, collectives "
+              f"{row['collectives_per_step']['total_bytes']/2**20:.1f} "
+              f"MiB/step", flush=True)
+    return {
+        "protocol": (
+            f"virtual 8-device mesh, {args.experts}-expert top-2 d512 MoE, "
+            f"b8 seq{seq}, one compiled train step; memory from addressable "
+            "shards (exact), communication from partitioned-HLO collective "
+            "output bytes (structure exact; CPU wall-clock intentionally "
+            "not reported)"
+        ),
+        "replicated": rep,
+        "ep_sharded": ep,
+        "expert_memory_ratio": round(
+            ep["expert_weight_bytes_per_device"]
+            / max(1, rep["expert_weight_bytes_per_device"]), 3),
     }
 
 
@@ -254,9 +435,19 @@ def main(argv=None) -> int:
     ap.add_argument("--timeout", type=float, default=1700.0)
     ap.add_argument("--skip_quality", action="store_true")
     ap.add_argument("--skip_throughput", action="store_true")
+    ap.add_argument("--ep_analysis", action="store_true",
+                    help="EP-vs-replicated memory + collective structure on "
+                         "a virtual 8-device mesh (needs JAX_PLATFORMS=cpu "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    ap.add_argument("--ep_seq_len", type=int, default=512)
+    ap.add_argument("--merge_into", default=None,
+                    help="read this existing artifact and merge new sections "
+                         "into it instead of writing only the sections run")
     args = ap.parse_args(argv)
 
     report: dict = {}
+    if args.merge_into:
+        report = json.loads(Path(args.merge_into).read_text())
     if not args.skip_quality:
         report["quality"] = run_quality(args)
         if args.converged_epochs:
@@ -265,6 +456,8 @@ def main(argv=None) -> int:
                 run_prefix="moe-quality-conv")
     if not args.skip_throughput:
         report["throughput_d512"] = run_throughput(args)
+    if args.ep_analysis:
+        report["ep_analysis"] = run_ep_analysis(args)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -358,7 +358,9 @@ def run_equivalence(args) -> dict:
     # to bf16 passes and eat the 0.5% budget
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    workdir = Path(args.workdir)
+    # absolute: the reference subprocess runs with cwd inside the workdir,
+    # so relative --workdir values would otherwise break its --config path
+    workdir = Path(args.workdir).resolve()
     if workdir.exists() and args.fresh:
         shutil.rmtree(workdir)
     workdir.mkdir(parents=True, exist_ok=True)

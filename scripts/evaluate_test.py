@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--alpha", type=float, default=0.01)
     ap.add_argument("--context_ablation", action="store_true")
+    ap.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                    help="paired bootstrap resamples for CIs on every "
+                         "model-vs-baseline margin (needs --train_npz; "
+                         "0 disables)")
+    ap.add_argument("--bootstrap_seed", type=int, default=0)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--run_root", default="runs")
     ap.add_argument("--out", default=None)
@@ -115,6 +120,36 @@ def main(argv=None) -> int:
         report["beats_best_simple"] = (
             report["model"]["nll"] < results[best]["cross_entropy_nats"]
         )
+        if args.bootstrap:
+            from genomics_lm_tpu.evals.markov import per_row_baseline_nll
+            from genomics_lm_tpu.evals.perplexity import per_row_model_nll
+            from genomics_lm_tpu.evals.significance import (
+                paired_bootstrap_margins,
+            )
+
+            model_rows, tokens_rows = per_row_model_nll(
+                params, cfg, test_ds, batch_size=args.batch_size
+            )
+            base_rows, base_tokens_rows = per_row_baseline_nll(
+                *xy(test_ds), counts, len(itos), args.alpha,
+                reset_token_ids=reset_ids,
+            )
+            if not np.array_equal(tokens_rows, base_tokens_rows):
+                raise RuntimeError(
+                    "model/baseline per-row token counts disagree — the "
+                    "paired bootstrap would be misaligned"
+                )
+            report["margins"] = paired_bootstrap_margins(
+                model_rows, tokens_rows, base_rows,
+                n_boot=args.bootstrap, seed=args.bootstrap_seed,
+            )
+            report["margins_protocol"] = (
+                f"paired bootstrap over {int((tokens_rows > 0).sum())} packed "
+                f"rows ({int(tokens_rows.sum())} non-PAD tokens), "
+                f"{args.bootstrap} resamples, seed {args.bootstrap_seed}; "
+                "margin = baseline - model corpus NLL (nats/token, "
+                "positive = model better)"
+            )
     if args.context_ablation:
         report["context_ablation"] = context_ablation(
             params, cfg, args.test_npz, batch_size=args.batch_size
@@ -129,6 +164,10 @@ def main(argv=None) -> int:
     if "baselines" in report:
         print("best simple model:", report["best_simple_model"],
               "| model beats it:", report["beats_best_simple"])
+    for name, m in report.get("margins", {}).items():
+        print(f"margin vs {name}: {m['margin_nats']:+.4f} nats "
+              f"[{m['ci_low']:+.4f}, {m['ci_high']:+.4f}] "
+              f"{'EXCLUDES 0' if m['excludes_zero'] else 'includes 0'}")
     return 0
 
 

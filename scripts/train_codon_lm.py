@@ -60,23 +60,28 @@ def main(argv=None) -> int:
 
     mesh = None
     n_mesh = args.mesh_devices or cfg.get("mesh_devices")
-    tp = args.tensor_parallel or cfg.get("tensor_parallel")
-    pp = args.pipeline_stages or cfg.get("pipeline_stages")
-    if tp and int(tp) > 1 and pp and int(pp) > 1:
-        raise SystemExit(
-            "tensor_parallel and pipeline_stages are mutually exclusive")
-    if n_mesh or tp or pp:
+    tp = int(args.tensor_parallel or cfg.get("tensor_parallel") or 1)
+    pp = int(args.pipeline_stages or cfg.get("pipeline_stages") or 1)
+    if n_mesh or tp > 1 or pp > 1:
         from genomics_lm_tpu.parallel.mesh import make_mesh
 
-        if tp and int(tp) > 1:
+        if tp > 1 and pp > 1:
+            # all three axes on one mesh: DP outermost, then TP inside
+            # each pipeline stage (Megatron splits under GSPMD), GPipe
+            # depth over pipe
             mesh = make_mesh(
                 int(n_mesh) if n_mesh else None,
-                axes={"data": -1, "model": int(tp)},
+                axes={"data": -1, "model": tp, "pipe": pp},
             )
-        elif pp and int(pp) > 1:
+        elif tp > 1:
             mesh = make_mesh(
                 int(n_mesh) if n_mesh else None,
-                axes={"data": -1, "pipe": int(pp)},
+                axes={"data": -1, "model": tp},
+            )
+        elif pp > 1:
+            mesh = make_mesh(
+                int(n_mesh) if n_mesh else None,
+                axes={"data": -1, "pipe": pp},
             )
         else:
             mesh = make_mesh(int(n_mesh))

@@ -364,3 +364,54 @@ class TestMoEBenchmark:
                 < rows["full_ft"]["trainable_params"])
         assert rows["full_ft"]["recovered_fraction_of_full_ft_gain"] in (1.0, None)
         assert report["zero_shot_on_b_val"]["nll"] > 0
+
+
+class TestEpAnalysisMachinery:
+    """HLO collective-bytes accounting behind benchmark_moe --ep_analysis."""
+
+    def test_collective_bytes_parser(self):
+        from scripts.benchmark_moe import collective_bytes_from_hlo
+
+        hlo = """
+HloModule jit_step
+  %x = f32[64,128]{1,0} parameter(0)
+  %ar = f32[64,128]{1,0} all-reduce(%x), replica_groups={}
+  %ag = bf16[8,512]{1,0} all-gather(%y), dimensions={0}
+  %tuple = (f32[16]{0}, f32[16]{0}) all-reduce(%a, %b)
+  %rs = f32[32]{0} reduce-scatter(%z), dimensions={0}
+  %noise = f32[99]{0} add(%x, %x)
+"""
+        out = collective_bytes_from_hlo(hlo)
+        assert out["count_by_op"] == {"all-reduce": 2, "all-gather": 1,
+                                      "reduce-scatter": 1}
+        assert out["bytes_by_op"]["all-reduce"] == 64 * 128 * 4 + 2 * 16 * 4
+        assert out["bytes_by_op"]["all-gather"] == 8 * 512 * 2
+        assert out["bytes_by_op"]["reduce-scatter"] == 32 * 4
+        assert out["total_bytes"] == sum(out["bytes_by_op"].values())
+
+    def test_ep_vs_replicated_structure_small(self):
+        """The committed d512 ep_analysis numbers come from this exact code
+        path; at toy width the structural claims must hold too: EP halves
+        per-device expert weight bytes and emits all-to-all dispatch."""
+        import argparse
+        import jax
+        import pytest
+
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        from scripts import benchmark_moe as bm
+
+        small = dict(bm.D512_MODEL)
+        small.update({"n_layer": 2, "n_head": 2, "n_embd": 64})
+        args = argparse.Namespace(experts=4, ep_seq_len=32)
+        old = bm.D512_MODEL
+        bm.D512_MODEL = small
+        try:
+            out = bm.run_ep_analysis(args)
+        finally:
+            bm.D512_MODEL = old
+        rep, ep = out["replicated"], out["ep_sharded"]
+        assert ep["expert_weight_bytes_per_device"] * 2 == (
+            rep["expert_weight_bytes_per_device"])
+        assert "all-to-all" in ep["collectives_per_step"]["bytes_by_op"]
+        assert out["expert_memory_ratio"] == 0.5

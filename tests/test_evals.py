@@ -130,6 +130,79 @@ class TestMarkov:
                 r_dense[name]["cross_entropy_nats"], rel=1e-12)
 
 
+class TestSignificance:
+    """Per-row NLL decomposition + paired-bootstrap margin CIs
+    (evals/significance.py, VERDICT r4 weak #1)."""
+
+    def _pack(self, rng, n_rows=40, width=32):
+        xs = rng.integers(4, 20, (n_rows, width)).astype(np.int32)
+        # bigram-predictable structure on most rows: next = same token
+        xs[::2] = np.tile(np.arange(4, 4 + width) % 16 + 4, (len(xs[::2]), 1))
+        ys = np.roll(xs, -1, axis=1)
+        ys[:, -1] = 0
+        return xs, ys
+
+    def test_per_row_baseline_matches_corpus_totals(self):
+        rng = np.random.default_rng(0)
+        xs, ys = self._pack(rng)
+        counts = markov.fit_baselines(xs, ys, 68)
+        results, tokens, _ = markov.evaluate_baselines(xs, ys, counts, 68)
+        rows, tok_rows = markov.per_row_baseline_nll(xs, ys, counts, 68)
+        assert int(tok_rows.sum()) == tokens
+        for name in markov.MODEL_NAMES:
+            assert rows[name].sum() / tokens == pytest.approx(
+                results[name]["cross_entropy_nats"], rel=1e-12)
+
+    def test_per_row_model_matches_corpus_totals(self, tmp_path):
+        from genomics_lm_tpu.evals.perplexity import (
+            evaluate_perplexity,
+            per_row_model_nll,
+        )
+
+        params, cfg = make_model()
+        rng = np.random.default_rng(1)
+        X = rng.integers(4, 68, (10, 24)).astype(np.int32)
+        Y = np.roll(X, -1, axis=1)
+        Y[:, -1] = 0
+        Y[3] = 0  # a row with no evaluable targets pairs as zero
+        np.savez(tmp_path / "val.npz", X=X, Y=Y)
+        out = evaluate_perplexity(params, cfg, tmp_path / "val.npz", batch_size=4)
+        sums, toks = per_row_model_nll(
+            params, cfg, tmp_path / "val.npz", batch_size=4)
+        assert toks[3] == 0 and sums[3] == 0.0
+        assert int(toks.sum()) == out["tokens"]
+        assert sums.sum() / toks.sum() == pytest.approx(out["nll"], rel=1e-6)
+
+    def test_paired_bootstrap_behaviour(self):
+        from genomics_lm_tpu.evals.significance import paired_bootstrap_margins
+
+        rng = np.random.default_rng(2)
+        n = 200
+        toks = np.full(n, 100.0)
+        base = rng.normal(300.0, 5.0, n)  # baseline: 3.0 nats/token
+        # model A: clearly better (2.5 nats/token) — CI must exclude zero
+        model_a = base - 50.0 + rng.normal(0.0, 2.0, n)
+        m = paired_bootstrap_margins(model_a, toks, {"Bigram": base},
+                                     n_boot=500, seed=0)
+        assert m["Bigram"]["margin_nats"] == pytest.approx(0.5, abs=0.05)
+        assert m["Bigram"]["excludes_zero"] and m["Bigram"]["ci_low"] > 0
+        # model B: pure noise around the baseline — CI must include zero
+        model_b = base + rng.normal(0.0, 2.0, n)
+        m = paired_bootstrap_margins(model_b, toks, {"Bigram": base},
+                                     n_boot=500, seed=0)
+        assert not m["Bigram"]["excludes_zero"]
+        # zero-token rows are dropped, not diluted
+        toks2 = toks.copy()
+        toks2[:10] = 0.0
+        m2 = paired_bootstrap_margins(model_a, toks2, {"Bigram": base},
+                                      n_boot=100, seed=0)
+        assert m2["Bigram"]["n_rows"] == n - 10
+        # determinism: same seed, same interval
+        m3 = paired_bootstrap_margins(model_a, toks2, {"Bigram": base},
+                                      n_boot=100, seed=0)
+        assert m2["Bigram"] == m3["Bigram"]
+
+
 class TestPerplexityEval:
     def test_evaluate_perplexity(self, tmp_path):
         from genomics_lm_tpu.evals.perplexity import context_ablation, evaluate_perplexity

@@ -627,3 +627,96 @@ class TestArchitectureToggles:
         staged = jax.device_put(staged, stage_param_sharding(mesh, staged))
         got = pipeline_loss(staged, cfg, X, Y, mesh=mesh, n_microbatches=4)
         np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+class TestThreeAxisComposition:
+    """DP x TP x PP on one (data=2, model=2, pipe=2) mesh — the full pod
+    layout (VERDICT r4 directive 6): Megatron splits run GSPMD-auto inside
+    each GPipe stage (the shard_map is manual over data+pipe only), DP
+    shards the microbatch rows, ZeRO-1 takes whatever dimension is left."""
+
+    def _mesh(self):
+        return make_mesh(8, axes={"data": 2, "model": 2, PIPE_AXIS: 2})
+
+    def test_loss_and_grads_match_single_device(self):
+        cfg = _cfg()
+        rng = np.random.default_rng(30)
+        X, Y = _batch(rng, 8, cfg.block_size)
+        params = codon_gpt.init(jax.random.PRNGKey(30), cfg)
+        _, want, _ = codon_gpt.forward(params, cfg, X, Y, return_aux=True)
+
+        mesh = self._mesh()
+        staged = split_stage_params(params, 2)
+        shardings = stage_param_sharding(mesh, staged)
+        staged = jax.device_put(staged, shardings)
+        # the weights really are sharded over BOTH pipe and model
+        q_spec = tuple(staged["blocks"]["attn"]["query"]["w"].sharding.spec)
+        assert q_spec[0] == PIPE_AXIS and "model" in q_spec, q_spec
+        p_spec = tuple(staged["blocks"]["attn"]["proj"]["w"].sharding.spec)
+        assert p_spec[0] == PIPE_AXIS and p_spec[-2] == "model", p_spec
+
+        # jit as the production steps do — mixed manual/auto shard_map is
+        # a compiled-program construct (GSPMD owns the model axis)
+        loss_fn = jax.jit(lambda p: pipeline_loss(
+            p, cfg, X, Y, mesh=mesh, n_microbatches=2))
+        got = loss_fn(staged)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+        want_g = merge_stage_params(jax.jit(jax.grad(loss_fn))(staged))
+        ref_g = jax.grad(
+            lambda p: codon_gpt.forward(p, cfg, X, Y, return_aux=True)[1]
+        )(params)
+        got_map = {jax.tree_util.keystr(k): v for k, v in
+                   jax.tree_util.tree_flatten_with_path(want_g)[0]}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(ref_g)[0]:
+            key = jax.tree_util.keystr(path)
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(got_map[key]),
+                atol=2e-5, rtol=2e-4, err_msg=key)
+
+    def test_opt_state_shardings_span_all_three_axes(self):
+        from genomics_lm_tpu.parallel.pipeline import stage_opt_state_sharding
+
+        cfg = _cfg()
+        params = codon_gpt.init(jax.random.PRNGKey(31), cfg)
+        opt_state = optax.adamw(1e-3).init(params)
+        staged = split_stage_params(opt_state, 2)
+        shardings = stage_opt_state_sharding(self._mesh(), staged, zero1=True)
+        flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+        q_moments = [s for p, s in flat
+                     if "query" in jax.tree_util.keystr(p)
+                     and jax.tree_util.keystr(p).endswith("['w']")]
+        assert q_moments
+        for s in q_moments:
+            spec = tuple(s.spec)
+            # (pipe, data, None, model): depth, ZeRO-1, and Megatron column
+            assert spec[0] == PIPE_AXIS
+            assert "model" in spec and "data" in spec, spec
+
+    def test_trainer_epoch_resume_matches_single_device(self, tmp_path):
+        from genomics_lm_tpu.training import checkpoints as ckpt_lib
+        from genomics_lm_tpu.training.loop import run_training
+
+        TestTrainerUnderPipeline._fixture(tmp_path)
+        cfg = TestTrainerUnderPipeline._cfg(
+            tmp_path, grad_accum_steps=1, n_embd=32, run_id="pp3-run",
+            shard_optimizer_state=True)
+        mesh = self._mesh()
+        meta = run_training(dict(cfg), run_root=str(tmp_path / "runs"),
+                            mesh=mesh)
+        assert meta["status"] == "completed"
+        meta_sd = run_training(dict(cfg), run_root=str(tmp_path / "runs_sd"),
+                               mesh=None)
+        for key in ("last_val_loss", "best_val_loss"):
+            np.testing.assert_allclose(
+                float(meta[key]), float(meta_sd[key]), rtol=5e-3, err_msg=key)
+
+        # merged checkpoint + resume under the same 3-axis mesh
+        run_dir = tmp_path / "runs" / "pp3-run"
+        payload = ckpt_lib.load_checkpoint(run_dir / "checkpoints" / "last.npz")
+        for leaf in jax.tree.leaves(payload["model"]["blocks"]):
+            assert leaf.shape[0] == cfg["n_layer"]
+        meta2 = run_training(
+            dict(cfg, epochs=3), run_root=str(tmp_path / "runs"),
+            resume=str(run_dir / "checkpoints" / "last.npz"), mesh=mesh)
+        assert meta2["status"] == "completed"

