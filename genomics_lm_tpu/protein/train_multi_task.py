@@ -116,15 +116,24 @@ def train(
         bidirectional=bool(cfg.get("bidirectional", True)),
     )
 
-    # class weights: train split only, sqrt-inverse-frequency, clamped
+    # class weights: train split only, sqrt-inverse-frequency, clamped.
+    # Knobs mirror the reference (train_multi_task.py:376-379): weighting
+    # mode (default here keeps this trainer's historical always-on
+    # behavior; "none" disables) and the clamp ceiling (reference default
+    # 4.0).
+    weighting_mode = str(
+        cfg.get("classification_class_weighting", "sqrt_inverse_frequency"))
+    weight_max = float(cfg.get("classification_class_weight_max", 4.0))
     class_weights = {}
-    for task, id_key in (("family", "pfam_id"), ("function", "ec_id")):
-        if task in task_dims and task_dims[task] > 1:
-            labels = np.asarray([s.get(id_key, -1) for s in train_ds.samples])
-            if (labels >= 0).any():
-                class_weights[task] = jnp.asarray(
-                    PL.sqrt_inverse_frequency_weights(labels, task_dims[task])
-                )
+    if weighting_mode != "none":
+        for task, id_key in (("family", "pfam_id"), ("function", "ec_id")):
+            if task in task_dims and task_dims[task] > 1:
+                labels = np.asarray([s.get(id_key, -1) for s in train_ds.samples])
+                if (labels >= 0).any():
+                    class_weights[task] = jnp.asarray(
+                        PL.sqrt_inverse_frequency_weights(
+                            labels, task_dims[task], clamp_max=weight_max)
+                    )
     pos_weights = {}
     for task in multi_label_tasks:
         mats = [
@@ -185,8 +194,13 @@ def train(
             total += saliency_weight * sal
         for task, label_key in (("family", "family"), ("function", "function")):
             if task in out:
+                # class weights are a TRAINING device only: validation stays
+                # unweighted so its loss describes the frozen held-out
+                # distribution (ref train_multi_task.py:372-400 — separate
+                # weighted train / unweighted validation criteria)
                 loss, _ = PL.classification_loss(
-                    out[task], batch[label_key], class_weights.get(task)
+                    out[task], batch[label_key],
+                    class_weights.get(task) if train_mode else None,
                 )
                 losses[task] = loss
                 total += float(task_loss_weights.get(task, 1.0)) * loss

@@ -259,6 +259,12 @@ def _flatten_paths(tree, prefix="") -> dict[str, Any]:
     if isinstance(tree, dict):
         for k, v in tree.items():
             flat.update(_flatten_paths(v, f"{prefix}/{k}"))
+    elif isinstance(tree, (list, tuple)):
+        # per-layer block LISTS (the protein backbone) must transfer
+        # leaf-by-leaf — treating the list as one leaf silently collapses
+        # it to a numpy object array that later poisons optimizer init
+        for i, v in enumerate(tree):
+            flat.update(_flatten_paths(v, f"{prefix}/{i}"))
     else:
         flat[prefix.lstrip("/")] = tree
     return flat
@@ -268,6 +274,9 @@ def _unflatten_paths(flat: dict[str, Any], like: dict) -> dict:
     def rebuild(node, prefix=""):
         if isinstance(node, dict):
             return {k: rebuild(v, f"{prefix}/{k}") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            seq = [rebuild(v, f"{prefix}/{i}") for i, v in enumerate(node)]
+            return tuple(seq) if isinstance(node, tuple) else seq
         return flat[prefix.lstrip("/")]
 
     return rebuild(like)

@@ -572,6 +572,9 @@ def run_training(
         train_step = make_train_step(
             model_cfg, loss_cfg, bundle.tx, use_replay=loss_cfg.replay_enabled,
             shape_lookup=shape_lookup,
+            # frozen leaves (LoRA / freeze_backbone / frozen encoder) skip
+            # gradient computation entirely — XLA drops their dW matmuls
+            param_labels=bundle.labels,
         )
         eval_step = make_eval_step(model_cfg, loss_cfg, shape_lookup=shape_lookup)
 

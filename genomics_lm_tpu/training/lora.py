@@ -51,6 +51,8 @@ MLP_LINEARS = ("fc", "proj", "w_gate", "w_up", "w_down")
 
 __all__ = [
     "add_lora_adapters",
+    "adapter_state",
+    "apply_adapter_state",
     "merge_lora",
     "has_lora",
     "lora_param_count",
@@ -140,6 +142,61 @@ def merge_lora(params: dict) -> dict:
     existing checkpoint consumer (eval, decode, serving, int8 quant).
     """
     return _merge_node(params)
+
+
+def adapter_state(params: dict) -> dict:
+    """Only the adapter leaves, tree structure preserved.
+
+    The shippable unit of a LoRA fine-tune: orders of magnitude smaller
+    than a dense checkpoint (measured at the d512 tier in
+    ``docs/benchmarks/lora_transfer.json`` ``efficiency_d512``), and
+    re-attachable to any copy of the frozen base via
+    :func:`apply_adapter_state` (multi-adapter serving, adapter registries).
+    """
+    def visit(node):
+        if not isinstance(node, dict):
+            return None
+        if "lora_a" in node:
+            return {k: v for k, v in node.items() if k.startswith("lora_")}
+        out = {k: r for k, r in ((k, visit(v)) for k, v in node.items())
+               if r is not None}
+        return out or None
+
+    found = visit(params)
+    if found is None:
+        raise ValueError("params carry no LoRA adapter leaves")
+    return found
+
+
+def apply_adapter_state(params: dict, adapters: dict) -> dict:
+    """Graft an :func:`adapter_state` tree onto a base parameter tree.
+
+    The base must be the SAME frozen checkpoint the adapters were trained
+    against (LoRA deltas are base-specific); shapes are validated, and the
+    result forwards exactly like the original adapter checkpoint.
+    """
+    params = jax.tree.map(lambda x: x, params)  # fresh containers
+
+    def graft(dst, src, path=""):
+        for k, v in src.items():
+            if k.startswith("lora_"):
+                if "w" not in dst:
+                    raise ValueError(f"no linear at {path!r} to adapt")
+                expect = (dst["w"].shape[:-1] if k == "lora_a"
+                          else dst["w"].shape[:-2] if k == "lora_scale"
+                          else None)
+                if expect is not None and tuple(v.shape[: len(expect)]) != tuple(expect):
+                    raise ValueError(
+                        f"adapter leaf {path}/{k} shape {v.shape} does not "
+                        f"match base linear {dst['w'].shape}")
+                dst[k] = v
+            else:
+                if k not in dst:
+                    raise ValueError(f"base tree has no node {path}/{k}")
+                graft(dst[k], v, f"{path}/{k}")
+
+    graft(params, adapters)
+    return params
 
 
 def has_lora(params: dict) -> bool:

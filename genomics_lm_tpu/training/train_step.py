@@ -207,6 +207,7 @@ def make_train_step(
     use_replay: bool = False,
     donate: bool = False,
     shape_lookup: jnp.ndarray | None = None,
+    param_labels=None,
 ) -> Callable:
     """Build the jitted group step.
 
@@ -224,7 +225,19 @@ def make_train_step(
     HBM on real local chips, but on remote/tunneled runtimes donation can
     force full parameter round trips per step (measured 70x slowdown on the
     axon relay), so the safe default is off.
+
+    ``param_labels`` (the ``optim.param_group_labels`` tree) lets the step
+    skip computing gradients for ``"frozen"`` leaves entirely: those leaves
+    enter the forward under ``stop_gradient``, so XLA dead-code-eliminates
+    their weight-gradient matmuls — under LoRA / ``freeze_backbone`` the
+    backward drops the frozen dW einsums (≈1/3 of backward FLOPs) instead
+    of computing gradients the optimizer would zero anyway.
     """
+    frozen_mask = None
+    if param_labels is not None:
+        frozen_mask = jax.tree.map(lambda lbl: lbl == "frozen", param_labels)
+        if not any(jax.tree.leaves(frozen_mask)):
+            frozen_mask = None
 
     def step(params, opt_state, batch, rng, lr_scale):
         x, y = batch["x"], batch["y"]
@@ -244,6 +257,12 @@ def make_train_step(
                 replay, replay_on = None, None
 
             def loss_fn(p):
+                if frozen_mask is not None:
+                    p = jax.tree.map(
+                        lambda leaf, fz: jax.lax.stop_gradient(leaf)
+                        if fz else leaf,
+                        p, frozen_mask,
+                    )
                 if use_replay:
                     # replay loss participates only on flagged microbatches;
                     # the cond holds ONLY the replay forward — the previous

@@ -32,6 +32,142 @@ from scripts._shared import REPO_ROOT  # noqa: F401, E402
 from scripts.benchmark_moe import build_dataset  # noqa: E402
 
 
+def run_d512_efficiency(args) -> dict:
+    """Where LoRA actually wins at the flagship tier: bytes and step time.
+
+    Measures, at 12L8H d512 block512 (the BASELINE north-star tier):
+
+    - **checkpoint bytes** — the dense model checkpoint vs the
+      adapter-only state (``training/lora.py::adapter_state``), both as
+      real npz files on disk;
+    - **optimizer-state bytes** — AdamW moments for full fine-tuning vs
+      ``lora_only`` (optax ``multi_transform`` masks frozen leaves out of
+      the moment trees entirely). This is exactly the quantity ZeRO-1
+      shards over the data axis, so the ratio is also the per-device
+      ZeRO-1 moment saving;
+    - **step wall time** — full-FT vs LoRA group step on the current
+      backend; the LoRA step computes NO gradients for frozen leaves
+      (``train_step.make_train_step(param_labels=...)`` puts them under
+      ``stop_gradient``, dead-code-eliminating their dW matmuls).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_lm_tpu.models import codon_gpt
+    from genomics_lm_tpu.models.config import CodonGPTConfig
+    from genomics_lm_tpu.training import checkpoints as ckpt_lib
+    from genomics_lm_tpu.training import lora as lora_lib
+    from genomics_lm_tpu.training import optim as optim_lib
+    from genomics_lm_tpu.training.train_step import LossConfig, make_train_step
+
+    model = {
+        "vocab_size": 68, "block_size": 512, "n_layer": 12, "n_head": 8,
+        "n_embd": 512, "dropout": 0.1, "label_smoothing": 0.05, "sep_id": 3,
+        "tie_embeddings": True, "attention_impl": "flash",
+        "compute_dtype": "bfloat16", "fused_qkv": True,
+        "flash_block_q": 512, "flash_block_k": 512,
+    }
+    cfg = CodonGPTConfig.from_run_config(dict(model))
+    base = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+    adapted = lora_lib.add_lora_adapters(
+        base, jax.random.PRNGKey(1), rank=args.d512_rank)
+
+    workdir = Path(args.workdir) / "d512_efficiency"
+    workdir.mkdir(parents=True, exist_ok=True)
+    dense_path = workdir / "dense_model.npz"
+    adapters_path = workdir / "adapters_only.npz"
+    ckpt_lib.save_checkpoint({"model": base}, dense_path)
+    ckpt_lib.save_checkpoint(
+        {"adapters": lora_lib.adapter_state(adapted)}, adapters_path)
+    dense_bytes = dense_path.stat().st_size
+    adapter_bytes = adapters_path.stat().st_size
+
+    # round-trip sanity: re-attached adapters forward like the original
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(4, 68, (2, 64)), jnp.int32)
+    reattached = lora_lib.apply_adapter_state(
+        ckpt_lib.load_checkpoint(dense_path)["model"],
+        ckpt_lib.load_checkpoint(adapters_path)["adapters"])
+    np.testing.assert_allclose(
+        np.asarray(codon_gpt.forward(reattached, cfg, x)[0]),
+        np.asarray(codon_gpt.forward(adapted, cfg, x)[0]), atol=1e-5)
+
+    def tree_bytes(tree) -> int:
+        return int(sum(
+            getattr(leaf, "nbytes", 0) for leaf in jax.tree.leaves(tree)))
+
+    def measure(tag, params, run_cfg):
+        bundle = optim_lib.build_optimizer(run_cfg, params, total_steps=100)
+        opt_state = bundle.tx.init(params)
+        step = make_train_step(cfg, LossConfig(label_smoothing=0.05),
+                               bundle.tx, param_labels=bundle.labels)
+        batch = {
+            "x": jnp.asarray(rng.integers(4, 68, (1, args.d512_batch, 512)),
+                             jnp.int32),
+            "y": jnp.asarray(rng.integers(4, 68, (1, args.d512_batch, 512)),
+                             jnp.int32),
+        }
+        key = jax.random.PRNGKey(2)
+        one = jnp.asarray(1.0)
+        p, o = params, opt_state
+        for _ in range(args.d512_warmup):       # compile + settle
+            p, o, m = step(p, o, batch, key, one)
+        jax.block_until_ready(m["total_loss_sum"])
+        t0 = time.perf_counter()
+        for _ in range(args.d512_steps):
+            p, o, m = step(p, o, batch, key, one)
+        jax.block_until_ready(m["total_loss_sum"])
+        dt = (time.perf_counter() - t0) / args.d512_steps
+        trainable = sum(
+            int(leaf.size)
+            for leaf, lbl in zip(jax.tree.leaves(params),
+                                 jax.tree.leaves(bundle.labels))
+            if lbl != "frozen")
+        row = {
+            "mode": tag,
+            "trainable_params": trainable,
+            "opt_state_bytes": tree_bytes(opt_state),
+            "step_wall_sec": round(dt, 4),
+            "tokens_per_sec": round(args.d512_batch * 512 / dt, 1),
+        }
+        print(f"[lora-d512] {tag}: {trainable:,} trainable, "
+              f"moments {row['opt_state_bytes'] / 2**20:.1f} MiB, "
+              f"{dt * 1e3:.1f} ms/step", flush=True)
+        return row
+
+    full = measure("full_finetune", base,
+                   {"lr": 3e-4, "warmup_steps": 0})
+    lora = measure(f"lora_r{args.d512_rank}", adapted,
+                   {"lr": 3e-4, "warmup_steps": 0,
+                    "lora_rank": args.d512_rank})
+
+    backend = jax.devices()[0].platform
+    return {
+        "protocol": (
+            f"12L8H d512 block512 b{args.d512_batch}, "
+            f"{args.d512_warmup} warmup + {args.d512_steps} timed steps on "
+            f"'{backend}'; LoRA rank {args.d512_rank} attn targets, "
+            "lora_only (frozen backbone, stop-gradient dW elimination)"
+        ),
+        "checkpoint_bytes": {
+            "dense_model": dense_bytes,
+            "adapter_only": adapter_bytes,
+            "ratio": round(adapter_bytes / dense_bytes, 5),
+        },
+        "full_finetune": full,
+        "lora": lora,
+        "opt_state_ratio": round(
+            lora["opt_state_bytes"] / full["opt_state_bytes"], 5),
+        "step_time_ratio": round(
+            lora["step_wall_sec"] / full["step_wall_sec"], 3),
+        "note": (
+            "opt_state_bytes is the ZeRO-1-sharded quantity: per-device "
+            "moment memory under data parallelism scales by the same ratio"
+        ),
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/benchmarks/lora_transfer.json")
@@ -49,7 +185,24 @@ def main(argv=None) -> int:
     ap.add_argument("--warmup_steps", type=int, default=40)
     ap.add_argument("--seed", type=int, default=1337)
     ap.add_argument("--shift_seed", type=int, default=4242)
+    ap.add_argument("--d512_efficiency", action="store_true",
+                    help="only run the flagship-tier efficiency section "
+                         "(checkpoint/moment bytes + step time) and merge "
+                         "it into the existing artifact")
+    ap.add_argument("--d512_rank", type=int, default=8)
+    ap.add_argument("--d512_batch", type=int, default=8)
+    ap.add_argument("--d512_warmup", type=int, default=3)
+    ap.add_argument("--d512_steps", type=int, default=10)
     args = ap.parse_args(argv)
+
+    if args.d512_efficiency:
+        out = Path(args.out)
+        report = json.loads(out.read_text()) if out.exists() else {}
+        report["efficiency_d512"] = run_d512_efficiency(args)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(report, indent=2) + "\n")
+        print(f"[lora-transfer] wrote {out} (efficiency_d512)")
+        return 0
 
     from genomics_lm_tpu.evals.perplexity import evaluate_perplexity
     from genomics_lm_tpu.models.codon_gpt import param_count

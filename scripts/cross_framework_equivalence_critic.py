@@ -1,0 +1,476 @@
+#!/usr/bin/env python3
+"""Cross-framework TRAINING equivalence for the protein-critic stack.
+
+The codon LM already has the full discipline (the actual reference trainer
+run as a torch-CPU subprocess from transplanted identical init, gated on
+final metrics — ``scripts/cross_framework_equivalence.py``); the protein
+critic stopped at model-level transplant parity
+(``tests/test_protein_torch_parity.py``). This script gives the critic the
+same end-to-end proof against the reference production trainer
+(``/root/reference/src/protein_lm/train_multi_task.py:216-815``): one
+frozen multi-task corpus, one torch-seeded init transplanted to both
+trainers, both trained with identical hyperparameters, both final
+checkpoints judged by THIS repo's evaluator.
+
+What the gate therefore proves about trainer semantics (each reimplemented
+TPU-side and previously only unit-tested):
+
+- sqrt-inverse-frequency class weights, train-split-only, clamp
+  (``train_multi_task.py:77-122``) — and validation staying UNWEIGHTED;
+- smooth-L1 stability regression over finite targets (``:169-191``);
+- the mean-over-present-supervised-tasks loss (``:617``) — the corpus has
+  every label present so the reference's mean equals this repo's
+  ``task_loss_weights = 1/3`` per task, exactly;
+- boundary-aware gradient accumulation (``accumulation_group_size``
+  ``:194-200``) — the corpus size is chosen so the last group is ragged;
+- constant-LR AdamW (torch defaults), length-bucketed batching.
+
+Framework-idiosyncratic RNG is transplanted, not simulated, exactly like
+the codon gate: the initial weights come from one torch-seeded reference
+model, and the per-epoch batch permutation (the reference draws
+``torch.randperm`` seeded ``seed+epoch``) is injected into the repo
+trainer's batch iterator so both sides visit identical batch sequences.
+``dropout = 0`` so the gates judge semantics, not noise.
+
+    JAX_PLATFORMS=cpu python scripts/cross_framework_equivalence_critic.py \
+        --workdir outputs/equivalence_critic --fresh
+
+Writes ``equivalence_report.json``; exits nonzero on any gate failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+from scripts._shared import REPO_ROOT  # noqa: F401, E402
+
+import numpy as np  # noqa: E402
+
+AAS = "ACDEFGHIKLMNPQRSTVWY"
+HYDROPHOBIC = set("AVILMFWC")
+
+
+def build_corpus(workdir: Path, *, n_train: int, n_val: int, n_family: int,
+                 n_ec: int, seed: int) -> dict:
+    """Frozen synthetic multi-task corpus with learnable structure.
+
+    Family carries a per-class signature motif near the N-terminus,
+    function a per-class motif near the C-terminus, and stability is a
+    noisy linear function of the hydrophobic fraction — so every head has
+    real signal and training moves. Every sample carries all three labels
+    (all stability scores finite) so the reference's
+    mean-over-present-tasks always averages exactly three terms.
+    """
+    rng = np.random.default_rng(seed)
+    fam_motifs = ["".join(rng.choice(list(AAS), 5)) for _ in range(n_family)]
+    ec_motifs = ["".join(rng.choice(list(AAS), 4)) for _ in range(n_ec)]
+
+    def sample():
+        fam = int(rng.integers(n_family))
+        ec = int(rng.integers(n_ec))
+        length = int(rng.integers(40, 120))
+        seq = "".join(rng.choice(list(AAS), length))
+        fpos = int(rng.integers(0, 8))
+        seq = seq[:fpos] + fam_motifs[fam] + seq[fpos + 5:]
+        epos = length - 4 - int(rng.integers(0, 8))
+        seq = seq[:epos] + ec_motifs[ec] + seq[epos + 4:]
+        hydro = sum(c in HYDROPHOBIC for c in seq) / len(seq)
+        stability = 4.0 * hydro - 2.0 + float(rng.normal(0.0, 0.1))
+        return {"sequence": seq, "pfam_id": fam, "ec_id": ec,
+                "stability_score": round(stability, 6)}
+
+    paths = {}
+    for split, n in (("train", n_train), ("val", n_val)):
+        path = workdir / f"{split}.jsonl"
+        with path.open("w") as f:
+            for _ in range(n):
+                f.write(json.dumps(sample()) + "\n")
+        paths[split] = path
+    vocabs = {
+        "pfam": [f"PF{i:05d}" for i in range(n_family)],
+        "ec": [f"EC:{i}" for i in range(n_ec)],
+        "stability": ["low", "high"],  # unused under regression
+    }
+    vocab_path = workdir / "task_vocabs.json"
+    vocab_path.write_text(json.dumps(vocabs))
+    paths["vocabs"] = vocab_path
+    return paths
+
+
+def make_shared_init(workdir: Path, args, task_dims: dict):
+    """One torch-seeded reference model, exported to both trainers."""
+    import torch
+
+    from genomics_lm_tpu.training import checkpoints as ckpt_lib
+    from genomics_lm_tpu.utils.torch_bridge import (
+        protein_multitask_torch_to_jax,
+        reference_root,
+    )
+
+    sys.path.insert(0, str(reference_root()))
+    from src.protein_lm.config import ProteinClassifierConfig as TorchCfg
+    from src.protein_lm.models_multi import MultiTaskProteinClassifier
+
+    torch_cfg = TorchCfg(
+        vocab_size=28, block_size=args.block_size, n_layer=args.n_layer,
+        n_head=args.n_head, n_embd=args.n_embd, dropout=0.0, num_classes=0,
+        pooling=args.pooling, bidirectional=True,
+    )
+    torch.manual_seed(args.seed)
+    model = MultiTaskProteinClassifier(torch_cfg, task_dims)
+    state = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    torch_init = workdir / "shared_init.pt"
+    torch.save({"model_state_dict": state}, torch_init)
+
+    params = protein_multitask_torch_to_jax(
+        state, args.n_layer, list(task_dims))
+    jax_init = workdir / "shared_init.npz"
+    ckpt_lib.save_checkpoint({"model": params}, jax_init)
+    return torch_init, jax_init, state
+
+
+def shared_config(args, paths: dict, task_dims: dict) -> dict:
+    return {
+        "train_data": str(paths["train"]),
+        "val_data": str(paths["val"]),
+        "block_size": args.block_size,
+        "n_layer": args.n_layer,
+        "n_head": args.n_head,
+        "n_embd": args.n_embd,
+        "dropout": 0.0,
+        "pooling": args.pooling,
+        "bidirectional": True,
+        "batch_size": args.batch_size,
+        "grad_accum_steps": args.grad_accum,
+        "lr": args.lr,
+        "epochs": args.epochs,
+        "seed": args.seed,
+        "classification_class_weighting": "sqrt_inverse_frequency",
+        "classification_class_weight_max": 4.0,
+        "task_dims": dict(task_dims),
+    }
+
+
+def train_reference(workdir: Path, shared: dict, paths: dict,
+                    torch_init: Path, *, ref_root: Path,
+                    timeout_s: int) -> dict:
+    import yaml
+
+    ws = workdir / "ref_ws"
+    ws.mkdir(parents=True, exist_ok=True)
+    cfg = dict(shared)
+    cfg.pop("task_dims")  # the reference derives dims from task_vocabs
+    cfg.update({
+        "device": "cpu",
+        "dynamic_padding": True,
+        "regression_tasks": ["stability"],
+        "task_vocabs": str(paths["vocabs"]),
+        "use_checkpoint": False,
+    })
+    cfg_path = ws / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    cmd = [
+        sys.executable, "-m", "src.protein_lm.train_multi_task",
+        "--config", str(cfg_path),
+        "--run_id", "equivalence-ref-critic",
+        "--transfer_from", str(torch_init),
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(ref_root)
+    env.pop("JAX_PLATFORMS", None)
+    result = subprocess.run(
+        cmd, cwd=ws, env=env, capture_output=True, text=True,
+        timeout=timeout_s,
+    )
+    if result.returncode != 0:
+        raise RuntimeError(
+            "reference critic trainer failed:\n"
+            f"STDOUT tail: {result.stdout[-3000:]}\n"
+            f"STDERR tail: {result.stderr[-3000:]}"
+        )
+    run_dir = ws / "runs" / "equivalence-ref-critic"
+    curves = list(csv.DictReader((run_dir / "scores" / "curves.csv").open()))
+    return {
+        "run_dir": run_dir,
+        "last_pt": run_dir / "checkpoints" / "last_critic.pt",
+        "logged_final_val": float(curves[-1]["val_loss"]),
+        "epochs_logged": len(curves),
+    }
+
+
+def train_repo(workdir: Path, shared: dict, jax_init: Path) -> dict:
+    """Run this framework's critic trainer with the torch batch order."""
+    import torch
+
+    from genomics_lm_tpu.protein import train_multi_task as tmt
+
+    def torch_order_batches(dataset, batch_size, *, shuffle=True, seed=1337,
+                            epoch=0):
+        # the reference sampler's permutation: torch.randperm seeded
+        # seed+epoch, with the reference's 0-based epochs (this trainer
+        # passes 1-based) — transplanted like the init weights so both
+        # sides visit identical batch sequences
+        indices = sorted(range(len(dataset)), key=dataset.sequence_length)
+        batches = [indices[i: i + int(batch_size)]
+                   for i in range(0, len(indices), int(batch_size))]
+        if shuffle:
+            gen = torch.Generator()
+            gen.manual_seed(int(seed) + int(epoch) - 1)
+            order = torch.randperm(len(batches), generator=gen).tolist()
+            batches = [batches[i] for i in order]
+        yield from batches
+
+    cfg = dict(shared)
+    cfg.update({
+        "run_id": "equivalence-repo-critic",
+        # the reference sums the mean over the (always 3) present
+        # supervised tasks — identical to fixed 1/3 weights on this corpus
+        "task_loss_weights": {"family": 1 / 3, "function": 1 / 3,
+                              "stability": 1 / 3},
+    })
+    original = tmt.length_bucket_batches
+    tmt.length_bucket_batches = torch_order_batches
+    try:
+        meta = tmt.train(cfg, transfer_from=str(jax_init),
+                         run_root=workdir / "repo_runs")
+    finally:
+        tmt.length_bucket_batches = original
+    run_dir = workdir / "repo_runs" / "equivalence-repo-critic"
+    return {"run_dir": run_dir, "meta": meta,
+            "last_npz": run_dir / "checkpoints" / "last_critic.npz"}
+
+
+def unified_eval(ref_out, repo_out, shared, paths, task_dims) -> dict:
+    """Judge both final checkpoints under ONE evaluator (this repo's)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from genomics_lm_tpu.models.protein import (
+        ProteinClassifierConfig,
+        extract_latent,
+        multitask_forward,
+    )
+    from genomics_lm_tpu.protein import losses as PL
+    from genomics_lm_tpu.protein.dataset import (
+        MultiTaskProteinDataset,
+        length_bucket_batches,
+        pad_width_for,
+    )
+    from genomics_lm_tpu.tokenizers.protein import ProteinTokenizer
+    from genomics_lm_tpu.training import checkpoints as ckpt_lib
+    from genomics_lm_tpu.utils.torch_bridge import (
+        protein_multitask_torch_to_jax,
+        reference_root,
+    )
+
+    model_cfg = ProteinClassifierConfig(
+        vocab_size=28, n_layer=shared["n_layer"], n_head=shared["n_head"],
+        n_embd=shared["n_embd"], block_size=shared["block_size"],
+        dropout=0.0, num_classes=2, pooling=shared["pooling"],
+        bidirectional=True,
+    )
+    tokenizer = ProteinTokenizer()
+    val_ds = MultiTaskProteinDataset(paths["val"], tokenizer,
+                                     max_length=shared["block_size"])
+
+    ref_payload = torch.load(ref_out["last_pt"], map_location="cpu",
+                             weights_only=False)
+    ref_state = ref_payload["model_state_dict"]
+    ref_params = protein_multitask_torch_to_jax(
+        ref_state, shared["n_layer"], list(task_dims))
+    repo_params = ckpt_lib.load_checkpoint(repo_out["last_npz"])["model"]
+
+    def evaluate(params):
+        """Val loss exactly as both trainers compute it: mean over batches
+        of (mean over supervised tasks, unweighted CE)."""
+        total, n, correct, counts, sl1_sum, sl1_n = 0.0, 0, {}, {}, 0.0, 0
+        for rows in length_bucket_batches(val_ds, shared["batch_size"],
+                                          shuffle=False, seed=0, epoch=0):
+            width = pad_width_for([val_ds.sequence_length(r) for r in rows])
+            batch = val_ds.batch(rows, pad_to=width)
+            out = multitask_forward(
+                params, model_cfg, jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]), train=False, rng=None)
+            fam, _ = PL.classification_loss(out["family"],
+                                            jnp.asarray(batch["family"]))
+            fun, _ = PL.classification_loss(out["function"],
+                                            jnp.asarray(batch["function"]))
+            stab, _ = PL.smooth_l1_nan_masked(
+                out["stability"][:, 0], jnp.asarray(batch["stability"]))
+            total += float((fam + fun + stab) / 3.0)
+            n += 1
+            for task, key in (("family", "family"), ("function", "function")):
+                pred = np.argmax(np.asarray(out[task]), axis=1)
+                truth = np.asarray(batch[key])
+                correct[task] = correct.get(task, 0) + int((pred == truth).sum())
+                counts[task] = counts.get(task, 0) + len(truth)
+            sl1_sum += float(stab) * len(rows)
+            sl1_n += len(rows)
+        return {
+            "val_loss": total / max(n, 1),
+            "family_acc": correct["family"] / counts["family"],
+            "function_acc": correct["function"] / counts["function"],
+            "stability_smooth_l1": sl1_sum / max(sl1_n, 1),
+        }
+
+    ref_eval = evaluate(ref_params)
+    repo_eval = evaluate(repo_params)
+
+    # latent chain: torch extract_latent vs this repo's extractor on the
+    # SAME (trained reference) weights — the embedding-extraction parity
+    # proof, now on a TRAINED checkpoint rather than random init
+    sys.path.insert(0, str(reference_root()))
+    from src.protein_lm.config import ProteinClassifierConfig as TorchCfg
+    from src.protein_lm.models_multi import MultiTaskProteinClassifier
+
+    torch_model = MultiTaskProteinClassifier(
+        TorchCfg(vocab_size=28, block_size=shared["block_size"],
+                 n_layer=shared["n_layer"], n_head=shared["n_head"],
+                 n_embd=shared["n_embd"], dropout=0.0, num_classes=0,
+                 pooling=shared["pooling"], bidirectional=True),
+        dict(task_dims))
+    torch_model.load_state_dict(ref_state)
+    torch_model.eval()
+    rows = list(range(min(48, len(val_ds))))
+    width = pad_width_for([val_ds.sequence_length(r) for r in rows])
+    batch = val_ds.batch(rows, pad_to=width)
+    with torch.no_grad():
+        torch_latent = torch_model.extract_latent(
+            torch.from_numpy(batch["input_ids"].astype(np.int64)),
+            attention_mask=torch.from_numpy(
+                batch["attention_mask"].astype(np.int64)),
+        ).numpy()
+    jax_latent = np.asarray(extract_latent(
+        ref_params, model_cfg, jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"])))
+    lat_abs = float(np.max(np.abs(torch_latent - jax_latent)))
+    lat_scale = float(max(np.max(np.abs(torch_latent)), 1.0))
+    denom = (np.linalg.norm(torch_latent, axis=1)
+             * np.linalg.norm(jax_latent, axis=1))
+    lat_cos = float(np.min(
+        (torch_latent * jax_latent).sum(axis=1) / np.maximum(denom, 1e-12)))
+
+    rel_diff = (abs(repo_eval["val_loss"] - ref_eval["val_loss"])
+                / max(ref_eval["val_loss"], 1e-12))
+    chain_rel = (abs(ref_out["logged_final_val"] - ref_eval["val_loss"])
+                 / max(ref_eval["val_loss"], 1e-12))
+    gates = {
+        "chain_ref_logged_vs_transplant_eval": chain_rel <= 5e-3,
+        "val_loss_within_half_percent": rel_diff < 0.005,
+        "family_accuracy_agrees": abs(
+            repo_eval["family_acc"] - ref_eval["family_acc"]) <= 0.02,
+        "function_accuracy_agrees": abs(
+            repo_eval["function_acc"] - ref_eval["function_acc"]) <= 0.02,
+        "stability_smooth_l1_agrees": (
+            abs(repo_eval["stability_smooth_l1"]
+                - ref_eval["stability_smooth_l1"])
+            / max(ref_eval["stability_smooth_l1"], 1e-9) <= 0.05),
+        "trained_latents_identical": (lat_abs / lat_scale <= 5e-4
+                                      and lat_cos >= 1 - 1e-6),
+    }
+    return {
+        "reference": {**ref_eval,
+                      "logged_final_val": ref_out["logged_final_val"],
+                      "transplant_chain_rel_diff": chain_rel},
+        "repo": repo_eval,
+        "val_loss_rel_diff": rel_diff,
+        "tolerance": 0.005,
+        "trained_latents": {"max_abs_diff": lat_abs,
+                            "rel_diff": lat_abs / lat_scale,
+                            "min_cosine": lat_cos, "rows": len(rows)},
+        "gates": gates,
+        "all_gates_pass": all(gates.values()),
+    }
+
+
+def run_equivalence(args) -> dict:
+    import jax
+
+    from genomics_lm_tpu.utils.torch_bridge import reference_root
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    workdir = Path(args.workdir).resolve()
+    if workdir.exists() and args.fresh:
+        shutil.rmtree(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    task_dims = {"family": args.n_family, "function": args.n_ec,
+                 "stability": 1}
+
+    print(f"[1/5] frozen corpus ({args.n_train} train / {args.n_val} val, "
+          f"{args.n_family} families, {args.n_ec} EC classes)")
+    paths = build_corpus(workdir, n_train=args.n_train, n_val=args.n_val,
+                         n_family=args.n_family, n_ec=args.n_ec,
+                         seed=args.seed)
+    shared = shared_config(args, paths, task_dims)
+
+    print("[2/5] shared transplanted init")
+    torch_init, jax_init, _ = make_shared_init(workdir, args, task_dims)
+
+    print("[3/5] reference critic trainer (torch CPU subprocess)")
+    ref_out = train_reference(workdir, shared, paths, torch_init,
+                              ref_root=reference_root(),
+                              timeout_s=args.ref_timeout)
+    print(f"      logged final val: {ref_out['logged_final_val']:.6f} "
+          f"({ref_out['epochs_logged']} epochs)")
+
+    print("[4/5] this framework's critic trainer")
+    repo_out = train_repo(workdir, shared, jax_init)
+
+    print("[5/5] unified evaluation")
+    report = unified_eval(ref_out, repo_out, shared, paths, task_dims)
+    report["config"] = shared
+    report["corpus"] = {"n_train": args.n_train, "n_val": args.n_val,
+                        "n_family": args.n_family, "n_ec": args.n_ec,
+                        "seed": args.seed}
+
+    out_path = workdir / "equivalence_report.json"
+    out_path.write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps({k: report[k] for k in
+                      ("reference", "repo", "val_loss_rel_diff",
+                       "trained_latents", "gates", "all_gates_pass")},
+                     indent=2))
+    print(f"report: {out_path}")
+    return report
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="outputs/equivalence_critic")
+    ap.add_argument("--n_train", type=int, default=2004,
+                    help="chosen so the final accumulation group is ragged "
+                         "(boundary-aware averaging exercised)")
+    ap.add_argument("--n_val", type=int, default=256)
+    ap.add_argument("--n_family", type=int, default=8)
+    ap.add_argument("--n_ec", type=int, default=5)
+    ap.add_argument("--block_size", type=int, default=512)
+    ap.add_argument("--n_layer", type=int, default=12)
+    ap.add_argument("--n_head", type=int, default=8)
+    ap.add_argument("--n_embd", type=int, default=384)
+    ap.add_argument("--pooling", default="mean")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--grad_accum", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=1337)
+    ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--ref_timeout", type=int, default=14400)
+    args = ap.parse_args(argv)
+    report = run_equivalence(args)
+    return 0 if report["all_gates_pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

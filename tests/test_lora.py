@@ -326,3 +326,73 @@ class TestTrainerEndToEnd:
         )
         with pytest.raises(ValueError, match="lora_rank with pipeline_stages"):
             run_training(cfg, run_root=str(tmp_path / "runs"))
+
+
+class TestAdapterState:
+    """Adapter-only checkpoints: extract / re-attach (the shippable unit of
+    a LoRA fine-tune — measured in lora_transfer.json efficiency_d512)."""
+
+    def test_roundtrip_forward_identity(self, tmp_path):
+        from genomics_lm_tpu.training import checkpoints as ckpt_lib
+
+        cfg = tiny_cfg(fused_qkv=True)
+        base = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+        adapted = lora_lib.add_lora_adapters(base, jax.random.PRNGKey(1),
+                                             rank=4, alpha=8.0)
+        # give the adapters signal so identity isn't trivially zero
+        trained, _ = TestTrainingSemantics()._train_steps(
+            cfg, adapted, {"lr": 1e-2, "warmup_steps": 0, "lora_rank": 4})
+        ckpt_lib.save_checkpoint(
+            {"adapters": lora_lib.adapter_state(trained)},
+            tmp_path / "adapters.npz")
+        loaded = ckpt_lib.load_checkpoint(tmp_path / "adapters.npz")["adapters"]
+        reattached = lora_lib.apply_adapter_state(base, loaded)
+        x, _ = tiny_batch(cfg)
+        np.testing.assert_allclose(
+            np.asarray(codon_gpt.forward(reattached, cfg, x)[0]),
+            np.asarray(codon_gpt.forward(trained, cfg, x)[0]), atol=1e-6)
+        # adapter state is tiny relative to the dense tree
+        a_bytes = sum(l.nbytes for l in jax.tree.leaves(loaded))
+        d_bytes = sum(np.asarray(l).nbytes for l in jax.tree.leaves(base))
+        assert a_bytes < 0.2 * d_bytes
+
+    def test_fail_closed(self):
+        cfg = tiny_cfg()
+        base = codon_gpt.init(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError, match="no LoRA adapter"):
+            lora_lib.adapter_state(base)
+        adapters = lora_lib.adapter_state(
+            lora_lib.add_lora_adapters(base, jax.random.PRNGKey(1), rank=2))
+        wrong = codon_gpt.init(jax.random.PRNGKey(0), tiny_cfg(n_embd=32))
+        with pytest.raises(ValueError, match="does not match"):
+            lora_lib.apply_adapter_state(wrong, adapters)
+
+
+class TestFrozenGradientElimination:
+    def test_labeled_step_matches_unlabeled_updates(self):
+        """param_labels only removes computation the optimizer would zero:
+        with frozen leaves under stop_gradient, the committed update is
+        identical to the full-gradient step."""
+        cfg = tiny_cfg()
+        params = lora_lib.add_lora_adapters(
+            codon_gpt.init(jax.random.PRNGKey(0), cfg),
+            jax.random.PRNGKey(1), rank=4)
+        run_cfg = {"lr": 1e-2, "warmup_steps": 0, "lora_rank": 4}
+        bundle = optim_lib.build_optimizer(run_cfg, params, total_steps=10)
+        x, y = tiny_batch(cfg)
+        batch = {"x": x[None], "y": y[None]}
+        key = jax.random.PRNGKey(2)
+        one = jnp.float32(1.0)
+
+        outs = []
+        for labels in (None, bundle.labels):
+            step = make_train_step(cfg, LossConfig(), bundle.tx,
+                                   param_labels=labels)
+            p, o = params, bundle.tx.init(params)
+            for _ in range(2):
+                key2, k = jax.random.split(key)
+                p, o, m = step(p, o, batch, k, one)
+            outs.append(p)
+        for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)

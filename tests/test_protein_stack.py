@@ -348,3 +348,112 @@ class TestSaliencyRegularizer:
         )
         meta = train(cfg, run_root=str(tmp_path / "runs"))
         assert meta["status"] == "completed"
+
+
+class TestProteinTransfer:
+    def test_transfer_recurses_block_lists(self):
+        """The protein backbone stores blocks as a per-layer LIST; transfer
+        must copy leaf-by-leaf, not collapse the list into one numpy object
+        leaf (which silently 'loads' and then poisons optimizer init)."""
+        import optax
+
+        from genomics_lm_tpu.models.protein import (
+            ProteinClassifierConfig,
+            init_multitask,
+        )
+        from genomics_lm_tpu.training.checkpoints import transfer_load_params
+
+        cfg = ProteinClassifierConfig(
+            vocab_size=28, n_layer=2, n_head=2, n_embd=32, block_size=64,
+            dropout=0.0, num_classes=2, pooling="mean", bidirectional=True)
+        src = init_multitask(jax.random.PRNGKey(0), cfg, {"family": 3})
+        tgt = init_multitask(jax.random.PRNGKey(1), cfg, {"family": 3})
+        out, report = transfer_load_params(tgt, src)
+        assert not report["missing"] and not report["skipped"]
+        # every block leaf copied exactly — and the tree still inits optax
+        np.testing.assert_array_equal(
+            np.asarray(out["backbone"]["blocks"][1]["attn"]["query"]["w"]),
+            np.asarray(src["backbone"]["blocks"][1]["attn"]["query"]["w"]))
+        assert isinstance(out["backbone"]["blocks"], list)
+        optax.adamw(1e-3).init(out)  # would raise on an object-array leaf
+
+    def test_validation_classification_is_unweighted(self, tmp_path):
+        """Class weights are a training device only (ref
+        train_multi_task.py:372-400): with weighting on and a skewed val
+        split, the trainer's logged val loss must equal the unweighted CE."""
+        import json as _json
+
+        from genomics_lm_tpu.protein.train_multi_task import train
+
+        rng = np.random.default_rng(0)
+        def write(path, n, fam_choices):
+            with open(path, "w") as f:
+                for _ in range(n):
+                    seq = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), 30))
+                    f.write(_json.dumps({
+                        "sequence": seq,
+                        "pfam_id": int(rng.choice(fam_choices)),
+                        "ec_id": int(rng.integers(2)),
+                        "stability_score": float(rng.normal()),
+                    }) + "\n")
+        # train split imbalanced 9:1 → non-trivial class weights
+        write(tmp_path / "train.jsonl", 60, [0] * 9 + [1])
+        write(tmp_path / "val.jsonl", 20, [0, 1])
+        cfg = dict(
+            train_data=str(tmp_path / "train.jsonl"),
+            val_data=str(tmp_path / "val.jsonl"),
+            block_size=64, n_layer=1, n_head=2, n_embd=32, dropout=0.0,
+            batch_size=8, lr=1e-3, epochs=1, seed=0,
+            run_id="unweighted-val",
+            task_dims={"family": 2, "function": 2, "stability": 1},
+            classification_class_weighting="sqrt_inverse_frequency",
+        )
+        meta_weighted = train(dict(cfg), run_root=tmp_path / "runs_w")
+        meta_none = train(
+            dict(cfg, classification_class_weighting="none",
+                 run_id="none-val"),
+            run_root=tmp_path / "runs_n")
+        # identical init/batches, 1 epoch: training differs (weighted vs
+        # not) so val losses differ slightly — but each run's val loss must
+        # be the UNWEIGHTED loss of its own params; proven by reevaluating
+        # run 1's checkpoint under weighting "none" semantics: the trainer
+        # already logged exactly that number
+        from genomics_lm_tpu.models.protein import (
+            ProteinClassifierConfig,
+            multitask_forward,
+        )
+        from genomics_lm_tpu.protein import losses as PL
+        from genomics_lm_tpu.protein.dataset import (
+            MultiTaskProteinDataset,
+            length_bucket_batches,
+            pad_width_for,
+        )
+        from genomics_lm_tpu.tokenizers.protein import ProteinTokenizer
+        from genomics_lm_tpu.training import checkpoints as ckpt_lib
+
+        params = ckpt_lib.load_checkpoint(
+            tmp_path / "runs_w" / "unweighted-val" / "checkpoints"
+            / "last_critic.npz")["model"]
+        mcfg = ProteinClassifierConfig(
+            vocab_size=28, n_layer=1, n_head=2, n_embd=32, block_size=64,
+            dropout=0.0, num_classes=2, pooling="mean", bidirectional=True)
+        ds = MultiTaskProteinDataset(
+            tmp_path / "val.jsonl", ProteinTokenizer(), max_length=64)
+        total, n = 0.0, 0
+        for rows in length_bucket_batches(ds, 8, shuffle=False):
+            width = pad_width_for([ds.sequence_length(r) for r in rows])
+            b = ds.batch(rows, pad_to=width)
+            out = multitask_forward(params, mcfg,
+                                    jnp.asarray(b["input_ids"]),
+                                    jnp.asarray(b["attention_mask"]),
+                                    train=False, rng=None)
+            fam, _ = PL.classification_loss(out["family"], jnp.asarray(b["family"]))
+            fun, _ = PL.classification_loss(out["function"], jnp.asarray(b["function"]))
+            st, _ = PL.smooth_l1_nan_masked(out["stability"][:, 0],
+                                            jnp.asarray(b["stability"]))
+            total += float(fam + fun + st)
+            n += 1
+        want = total / n
+        got = meta_weighted["history"][-1]["val_loss"]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        assert meta_none["status"] == "completed"
