@@ -97,17 +97,25 @@ def attention(
                 "impl='flash' consumes structured masks (segment_ids / "
                 "attention_window), not a dense mask — pass impl='xla' "
                 "or express the mask structurally")
-        from genomics_lm_tpu.ops.flash_attention import flash_attention
+        if q.shape[2] % block_q or k.shape[2] % block_k:
+            # sequence lengths off the block grid (e.g. generation-battery
+            # scoring of a 304-token sample under 512-wide blocks) reject
+            # in Mosaic; these shapes are always small one-off evals, so
+            # the XLA path (bit-compatible per the kernel's parity tests)
+            # is the right degradation — training shapes stay on-grid
+            impl = "xla"
+        else:
+            from genomics_lm_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(
-            q, k, v,
-            segment_ids=segment_ids,
-            attention_window=attention_window,
-            dropout_rate=dropout_rate,
-            dropout_rng=dropout_rng,
-            block_q=block_q,
-            block_k=block_k,
-        )
+            return flash_attention(
+                q, k, v,
+                segment_ids=segment_ids,
+                attention_window=attention_window,
+                dropout_rate=dropout_rate,
+                dropout_rng=dropout_rng,
+                block_q=block_q,
+                block_k=block_k,
+            )
     if impl != "xla":
         raise ValueError(f"Unknown attention impl: {impl!r}")
 

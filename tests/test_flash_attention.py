@@ -180,3 +180,26 @@ class TestSuffixQueries:
         q, k, v = make_qkv()
         with pytest.raises(ValueError):
             flash_attention(q, k[:, :, :T // 2], v[:, :, :T // 2], interpret=True)
+
+
+class TestOffGridFallback:
+    def test_off_grid_lengths_fall_back_to_xla(self):
+        """T not divisible by the flash blocks (e.g. a 304-token battery
+        sample under 512-wide blocks) must degrade to the XLA path instead
+        of rejecting in Mosaic — and match it exactly."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from genomics_lm_tpu.ops.attention import attention
+
+        rng = np.random.default_rng(0)
+        B, H, T, D = 2, 2, 76, 16  # 76 % 64 != 0
+        q, k, v = (jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+                   for _ in range(3))
+        seg = jnp.asarray(rng.integers(0, 2, (B, T)).cumsum(axis=1), jnp.int32)
+        got = attention(q, k, v, segment_ids=seg, impl="flash",
+                        block_q=64, block_k=64)
+        want = attention(q, k, v, segment_ids=seg, impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
