@@ -84,14 +84,17 @@ def run_d512_efficiency(args) -> dict:
     adapter_bytes = adapters_path.stat().st_size
 
     # round-trip sanity: re-attached adapters forward like the original
+    # (xla attention: the flash kernel's 512-wide blocks reject this short
+    # probe sequence, and the check is about parameter plumbing, not kernels)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(4, 68, (2, 64)), jnp.int32)
+    probe_cfg = cfg.replace(attention_impl="xla", dropout=0.0)
     reattached = lora_lib.apply_adapter_state(
         ckpt_lib.load_checkpoint(dense_path)["model"],
         ckpt_lib.load_checkpoint(adapters_path)["adapters"])
     np.testing.assert_allclose(
-        np.asarray(codon_gpt.forward(reattached, cfg, x)[0]),
-        np.asarray(codon_gpt.forward(adapted, cfg, x)[0]), atol=1e-5)
+        np.asarray(codon_gpt.forward(reattached, probe_cfg, x)[0]),
+        np.asarray(codon_gpt.forward(adapted, probe_cfg, x)[0]), atol=1e-5)
 
     def tree_bytes(tree) -> int:
         return int(sum(
